@@ -1,0 +1,50 @@
+"""smfft_tpu — a TPU-native batched small/medium FFT framework.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of KAdamek/SMFFT
+(reference at /root/reference): statically-specialized batched power-of-two
+fp32 FFTs (N = 32..4096 complex, up to 8192 real) that execute entirely in
+on-chip VMEM — the TPU analogue of the reference's shared-memory-resident
+GPU FFTs (reference README.md:10-14).
+
+Design (TPU-first, not a CUDA port):
+  * Butterfly stages are expressed as dense DFT-matrix contractions that run
+    on the MXU (systolic array), with twiddle factors applied as fused
+    element-wise VPU ops — replacing the reference's warp-shuffle /
+    padded-shared-memory exchange networks
+    (reference SMFFT_CooleyTukey_C2C/FFT-GPU-32bit.cu:334-532).
+  * Compile-time specialization happens through Python closures + jax.jit
+    static arguments keyed on a frozen ``FFTParams`` plan — replacing the
+    reference's FFT_Params template-class hierarchy
+    (reference SMFFT_CooleyTukey_C2C/SM_FFT_parameters.cuh:1-390).
+  * The hot path is a Pallas kernel whose FFT core is an *emitter function*
+    composable inside other Pallas kernels, mirroring the reference's
+    ``__device__``-function composability (reference README.md:10).
+  * Batch parallelism across chips is plain sharding of the leading batch
+    axis over a jax.sharding.Mesh; the reference has no distributed
+    machinery (SURVEY.md §2.4) so no collectives are needed.
+
+Public API: :func:`fft`, :func:`ifft`, :func:`rfft`, :func:`irfft` in
+:mod:`smfft_tpu.api`.
+"""
+
+from smfft_tpu.params import (
+    FFTParams,
+    SUPPORTED_C2C_SIZES,
+    SUPPORTED_REAL_SIZES,
+    plan_for,
+)
+from smfft_tpu.api import fft, ifft, rfft, irfft, fft_packed_real
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "FFTParams",
+    "SUPPORTED_C2C_SIZES",
+    "SUPPORTED_REAL_SIZES",
+    "plan_for",
+    "fft",
+    "ifft",
+    "rfft",
+    "irfft",
+    "fft_packed_real",
+]

@@ -1,0 +1,156 @@
+"""Public API — batched FFT entry points with static size dispatch.
+
+The analogue of the reference's L3 host-driver interface
+(GPU_smFFT_4elements / GPU_FFT_C2C_Stockham / GPU_smFFT_R2C / GPU_smFFT_C2R,
+SMFFT_CooleyTukey_C2C/FFT-GPU-32bit.cu:827-908,
+SMFFT_Stockham_C2C/FFT-GPU-32bit-Stockham.cu:457-530,
+SMFFT_Stockham_R2C_C2R/FFT-GPU-32bit-Stockham.cu:572-688) plus its 32-case
+static dispatch switch (FFT-GPU-32bit.cu:599-659): unsupported sizes raise
+(the reference prints "Error wrong FFT length!", :656-658).
+
+Backends:
+  * ``backend="pallas"`` (default on TPU) — the fused single-HBM-pass VMEM
+    kernel, the product path.
+  * ``backend="xla"`` — the jnp-level mixed-radix MXU engine; runs on any
+    JAX backend (CPU included) and is the fallback where Pallas TPU kernels
+    are unavailable.
+  * ``backend="spec"`` — the pure-jnp radix-2 semantic specification
+    (models/), for debugging and cross-checking.
+
+Normalization follows numpy: ``ifft`` divides by N, ``irfft`` by N, unless
+``norm=None`` which gives the reference's raw unnormalized transforms
+(the reference never normalizes an inverse; SURVEY.md quirk 3).
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+from smfft_tpu import params as P
+from smfft_tpu.models import cooley_tukey, stockham, real as real_model
+from smfft_tpu.ops import matmul_fft
+
+Backend = Literal["pallas", "xla", "spec", "auto"]
+
+
+def _resolve_backend(backend: Backend) -> str:
+    if backend != "auto":
+        return backend
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _check_c2c(n: int):
+    if n not in P.SUPPORTED_C2C_SIZES:
+        raise ValueError(
+            f"Error wrong FFT length! N={n}; supported: {P.SUPPORTED_C2C_SIZES}")
+
+
+def _c2c(x: jnp.ndarray, inverse: bool, ordered: bool, backend: str,
+         precision: str) -> jnp.ndarray:
+    n = x.shape[-1]
+    _check_c2c(n)
+    backend = _resolve_backend(backend)
+    if backend == "spec":
+        return (cooley_tukey.fft_dit(x, inverse=inverse, ordered=ordered)
+                if ordered else
+                cooley_tukey.fft_dit(x, inverse=inverse, ordered=False))
+    if backend == "pallas":
+        from smfft_tpu.ops import pallas_c2c
+        return pallas_c2c.fft_pallas(x, inverse=inverse, ordered=ordered,
+                                     precision=precision)
+    return matmul_fft.fft_matmul(x, inverse=inverse, ordered=ordered,
+                                 precision=precision)
+
+
+def fft(x: jnp.ndarray, ordered: bool = True, backend: Backend = "auto",
+        precision: str = "highest") -> jnp.ndarray:
+    """Batched forward C2C FFT over the last axis.
+
+    Args:
+      x: complex64 (..., N), N in {32..4096} powers of two.
+      ordered: natural-order output (reference ``fft_reorder=1``); False
+        returns digit-reversed output at lower cost (``fft_reorder=0``).
+      backend: "auto" | "pallas" | "xla" | "spec".
+      precision: MXU precision for matmul backends.
+    """
+    return _c2c(x, inverse=False, ordered=ordered, backend=backend,
+                precision=precision)
+
+
+def ifft(x: jnp.ndarray, ordered: bool = True, backend: Backend = "auto",
+         precision: str = "highest", norm: str | None = "backward") -> jnp.ndarray:
+    """Batched inverse C2C FFT. ``norm="backward"`` divides by N (numpy
+    semantics); ``norm=None`` matches the reference's unnormalized inverse."""
+    out = _c2c(x, inverse=True, ordered=ordered, backend=backend,
+               precision=precision)
+    if norm == "backward":
+        out = out / x.shape[-1]
+    return out
+
+
+def rfft(x: jnp.ndarray, backend: Backend = "auto",
+         precision: str = "highest") -> jnp.ndarray:
+    """Batched R2C FFT: real (..., N) -> complex (..., N/2+1), numpy layout."""
+    n = x.shape[-1]
+    if n not in P.SUPPORTED_REAL_SIZES:
+        raise ValueError(
+            f"Error wrong FFT length! N={n}; supported: {P.SUPPORTED_REAL_SIZES}")
+    backend = _resolve_backend(backend)
+    if backend == "spec":
+        return real_model.rfft_spec(x)
+    if backend == "pallas":
+        from smfft_tpu.ops import pallas_real
+        return pallas_real.rfft_pallas(x, precision=precision, packed=False)
+    z = real_model.pack_real(x)
+    zf = matmul_fft.fft_matmul(z, precision=precision)
+    return real_model._split_forward(zf, n, packed=False)
+
+
+def fft_packed_real(x: jnp.ndarray, backend: Backend = "auto",
+                    precision: str = "highest") -> jnp.ndarray:
+    """R2C in the reference's packed layout: (..., N/2) complex with
+    out[..., 0] = DC + 1j*Nyquist (FFT-GPU-32bit-Stockham.cu:332-340)."""
+    n = x.shape[-1]
+    if n not in P.SUPPORTED_REAL_SIZES:
+        raise ValueError(f"Error wrong FFT length! N={n}")
+    backend = _resolve_backend(backend)
+    if backend == "spec":
+        return real_model.rfft_spec(x, packed=True)
+    if backend == "pallas":
+        from smfft_tpu.ops import pallas_real
+        return pallas_real.rfft_pallas(x, precision=precision, packed=True)
+    z = real_model.pack_real(x)
+    zf = matmul_fft.fft_matmul(z, precision=precision)
+    return real_model._split_forward(zf, n, packed=True)
+
+
+def irfft(x: jnp.ndarray, n: int | None = None, backend: Backend = "auto",
+          precision: str = "highest", norm: str | None = "backward",
+          packed: bool = False) -> jnp.ndarray:
+    """Batched C2R inverse FFT: complex spectrum -> real (..., N).
+
+    ``norm="backward"`` divides by N (numpy); ``norm=None`` returns the
+    reference's raw (N/2)-scaled output
+    (SMFFT_Stockham_R2C_C2R/FFT.c:170-171)."""
+    if n is None:
+        n = (x.shape[-1] - 1) * 2 if not packed else x.shape[-1] * 2
+    if n not in P.SUPPORTED_REAL_SIZES:
+        raise ValueError(f"Error wrong FFT length! N={n}")
+    backend = _resolve_backend(backend)
+    if backend == "spec":
+        out = real_model.irfft_spec(x, n, packed=packed, normalize=False)
+    elif backend == "pallas":
+        from smfft_tpu.ops import pallas_real
+        out = pallas_real.irfft_pallas(x, n, precision=precision, packed=packed)
+    else:
+        z = real_model._merge_inverse(x, n, packed=packed)
+        zi = matmul_fft.fft_matmul(z, inverse=True, precision=precision)
+        out = jnp.stack([jnp.real(zi), jnp.imag(zi)], axis=-1).reshape(
+            x.shape[:-1] + (n,))
+    if norm == "backward":
+        # the raw half-size-inverse output is (N/2)-scaled, so this yields x
+        out = out / (n // 2)
+    return out
