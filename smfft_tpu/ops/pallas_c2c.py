@@ -1,0 +1,488 @@
+"""Fused VMEM-resident batched C2C FFT Pallas kernels — the product core.
+
+TPU-native re-design of the reference's shared-memory device FFT
+(do_SMFFT_CT_DIT, SMFFT_CooleyTukey_C2C/FFT-GPU-32bit.cu:334-532;
+do_FFT_Stockham_mk6, SMFFT_Stockham_C2C/FFT-GPU-32bit-Stockham.cu:97-240):
+one HBM read + one HBM write per transform, all butterfly work in VMEM.
+
+Algorithm: two-factor decimation split N = C * 128 with the 128-point part
+contracted on the LANE axis by a dense 128x128 DFT matmul — the MXU is the
+TPU's lane-mixing network, replacing the reference's warp shuffles — and
+the C-point part contracted on the sublane/register axis by a small matmul.
+Complex arithmetic is planar fp32 (Mosaic has no complex dtype) using the
+3-multiply (Karatsuba) complex matmul.
+
+Two mirrored kernels (Mosaic cannot relayout lanes<->sublanes for free, so
+each single-pass kernel has one "block-permuted" side; the pair composes
+into relayout-free pipelines, the TPU analogue of the reference's cheap
+``fft_reorder=0`` mode, README.md:30-33):
+
+  * kernel A (natural in -> revblock out):
+      in  x[n] at view [b, n2, n1]        (n  = n1 + 128*n2, dense)
+      out X[k] at view [b, k2, k1]        (k  = k1*C + k2,  "revblock")
+      steps: sublane DFT_C over n2 -> k2; twiddle w_N^{k2*n1}; lane DFT_128
+      over n1 -> k1.
+  * kernel B (revblock in -> natural out): the exact mirror
+      (lane DFT first, conjugate-ordered twiddle, sublane DFT last); as an
+      inverse it consumes kernel A's output directly, giving a
+      convolution-style roundtrip with zero reordering passes anywhere.
+
+Natural-order output for N >= 256 ("ordered") is kernel A plus one XLA
+transpose epilogue (B, C, 128) -> (B, 128, C) — the four-step algorithm's
+irreducible transpose, the analogue of the reference's reorder cost
+(README.md:33-36).  For N <= 128 every transform fits in one lane row
+(128/N packed per row for N < 128, mirroring the reference's 4x32 / 2x64
+per-block packing, FFT-GPU-32bit.cu:588-595) and output is natural for
+free.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from smfft_tpu import params as P
+
+LANES = 128
+
+_PREC = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+# Interpret mode runs the kernels through the Pallas interpreter (any
+# backend, incl. CPU) — used by the test suite; real deployments compile
+# through Mosaic.  Toggled via set_interpret(); affects new builds only.
+_INTERPRET = False
+
+
+def set_interpret(value: bool) -> None:
+    global _INTERPRET
+    if value != _INTERPRET:
+        _build.cache_clear()
+    _INTERPRET = value
+
+
+# ---------------------------------------------------------------------------
+# Constant tables (float64-accurate, fp32-rounded; cf. the reference's
+# fast-math sincosf recomputation, FFT-GPU-32bit.cu:18-28).
+# ---------------------------------------------------------------------------
+
+
+def _dftmat(m: int, sign: float):
+    a = np.arange(m, dtype=np.float64)
+    ang = sign * 2.0 * np.pi * np.outer(a, a % m) / m
+    return np.cos(ang), np.sin(ang)
+
+
+def _tables(n: int, inverse: bool):
+    """(f_re, f_im, t_re, t_im, g_re, g_im) for the (C, 128) split of n."""
+    sign = +1.0 if inverse else -1.0
+    c = max(1, n // LANES)
+    if n >= LANES:
+        g_re, g_im = _dftmat(LANES, sign)
+    else:
+        p = LANES // n
+        dr, di = _dftmat(n, sign)
+        g_re, g_im = np.kron(np.eye(p), dr), np.kron(np.eye(p), di)
+    if c > 1:
+        f_re, f_im = _dftmat(c, sign)
+        k2 = np.arange(c, dtype=np.float64)[:, None]
+        n1 = np.arange(LANES, dtype=np.float64)[None, :]
+        tang = sign * 2.0 * np.pi * k2 * n1 / n
+        t_re, t_im = np.cos(tang), np.sin(tang)
+    else:
+        f_re = f_im = np.zeros((1, 1))
+        t_re = t_im = np.zeros((1, 1))
+    f32 = lambda m: m.astype(np.float32)
+    return tuple(map(f32, (f_re, f_im, t_re, t_im, g_re, g_im)))
+
+
+def const_arrays(n: int, inverse: bool):
+    """Constant tables (numpy, so they stay trace-time constants and are
+    safe to close over in cached builders): the (C, 128) main twiddle and
+    the lane DFT matrices (with g_sum = g_re + g_im precomputed for the
+    3-mult complex matmul).  Plane-DFT twiddles are python scalars baked
+    into the kernel body."""
+    _, _, t_re, t_im, g_re, g_im = _tables(n, inverse)
+    return (t_re, t_im, g_re, g_im, g_re + g_im)
+
+
+def n_consts(n: int) -> int:
+    return 5
+
+
+def read_consts(refs):
+    """Read constant-table refs into values for emit_fft."""
+    return tuple(r[:] for r in refs)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel emitters — composable from user Pallas kernels (the parity of
+# the reference's __device__ FFT core, README.md:10).
+# ---------------------------------------------------------------------------
+
+
+def _cdot(ar, ai, br, bi, bs, dims, precision):
+    """3-mult complex dot_general of planar (ar, ai) with planar constant
+    (br, bi); bs = br + bi."""
+    prec = _PREC[precision]
+    dot = lambda x, w: jax.lax.dot_general(
+        x, w, dimension_numbers=dims, precision=prec,
+        preferred_element_type=jnp.float32)
+    t1 = dot(ar, br)
+    t2 = dot(ai, bi)
+    t3 = dot(ar + ai, bs)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _cdot_lhs(br, bi, bs, xr, xi, dims, precision):
+    """3-mult complex dot_general with the constant matrix as LHS."""
+    prec = _PREC[precision]
+    dot = lambda w, x: jax.lax.dot_general(
+        w, x, dimension_numbers=dims, precision=prec,
+        preferred_element_type=jnp.float32)
+    t1 = dot(br, xr)
+    t2 = dot(bi, xi)
+    t3 = dot(bs, xr + xi)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _cmul_scalar(re, im, wr: float, wi: float):
+    """(re + i*im) * (wr + i*wi) with python-scalar twiddles; exact
+    special cases for 1, -1, +-i avoid needless VPU multiplies (the same
+    trick as the reference's fused +-i*W last stage,
+    FFT-GPU-32bit.cu:492-531)."""
+    if wi == 0.0:
+        if wr == 1.0:
+            return re, im
+        if wr == -1.0:
+            return -re, -im
+        return re * wr, im * wr
+    if wr == 0.0:
+        if wi == 1.0:
+            return -im, re
+        if wi == -1.0:
+            return im, -re
+        return -im * wi, re * wi
+    return re * wr - im * wi, re * wi + im * wr
+
+
+def _plane_dft_list(pre, pim, sign: float):
+    """Recursive radix-2 DIT DFT over a python list of (T, 128) planes.
+
+    Plane extraction/recombination is a leading-dim operation — no
+    lane/sublane relayout — so the C-point sublane transform costs
+    ~5*log2(C) VPU flops/point with python-scalar twiddles.  This replaces
+    both the reference's padded-shared-memory exchange stages
+    (FFT-GPU-32bit.cu:456-490) and a Mosaic-hostile tiny matmul.
+    """
+    c = len(pre)
+    if c == 1:
+        return pre, pim
+    er, ei = _plane_dft_list(pre[0::2], pim[0::2], sign)
+    orr, oi = _plane_dft_list(pre[1::2], pim[1::2], sign)
+    out_r = [None] * c
+    out_i = [None] * c
+    for k in range(c // 2):
+        ang = sign * 2.0 * math.pi * k / c
+        wr, wi = math.cos(ang), math.sin(ang)
+        # snap near-exact twiddles so the special cases kick in
+        for exact in (0.0, 1.0, -1.0):
+            if abs(wr - exact) < 1e-12:
+                wr = exact
+            if abs(wi - exact) < 1e-12:
+                wi = exact
+        tr, ti = _cmul_scalar(orr[k], oi[k], wr, wi)
+        out_r[k], out_i[k] = er[k] + tr, ei[k] + ti
+        out_r[k + c // 2], out_i[k + c // 2] = er[k] - tr, ei[k] - ti
+    return out_r, out_i
+
+
+def _plane_dft(xr, xi, c: int, sign: float):
+    """DFT of length c along axis 1 (planes) of (T, C, 128) values."""
+    pre = [xr[:, j, :] for j in range(c)]
+    pim = [xi[:, j, :] for j in range(c)]
+    outr, outi = _plane_dft_list(pre, pim, sign)
+    return (jnp.concatenate([p[:, None, :] for p in outr], axis=1),
+            jnp.concatenate([p[:, None, :] for p in outi], axis=1))
+
+
+def emit_fft(xr, xi, consts, *, n: int, inverse: bool = False,
+             precision: str = "highest"):
+    """Kernel A: natural-layout input tile -> revblock-layout FFT.
+
+    Args:
+      xr, xi: (T, C, 128) fp32 planar values; [t, n2, n1] holds x[n1+128*n2]
+        (the natural (T, N) row viewed with lanes minor — free reshape).
+        For N < 128, (T, 1, 128) rows each pack 128/N transforms.
+      consts: from read_consts / const_arrays (direction baked into tables).
+    Returns:
+      (o_re, o_im): (T, C, 128) values; [t, k2, k1] holds X[k1*C + k2]
+      (natural order already for N <= 128).
+    """
+    t_re, t_im, g_re, g_im, g_sum = consts
+    tile_t = xr.shape[0]
+    c = max(1, n // LANES)
+    sign = +1.0 if inverse else -1.0
+
+    if c > 1:
+        # plane-axis DFT_C over n2 -> k2 (VPU recursive DIT, stays
+        # (T, C, 128) with k2 in plane position — no transposes anywhere)
+        s_re, s_im = _plane_dft(xr, xi, c, sign)
+        # twiddle w_N^{k2*n1}: tables (C, 128) -> broadcast (1, C, 128)
+        w_re, w_im = t_re[None, :, :], t_im[None, :, :]
+        p_re = s_re * w_re - s_im * w_im
+        p_im = s_re * w_im + s_im * w_re
+        a_re = p_re.reshape(tile_t * c, LANES)
+        a_im = p_im.reshape(tile_t * c, LANES)
+    else:
+        a_re = xr.reshape(tile_t, LANES)
+        a_im = xi.reshape(tile_t, LANES)
+
+    # lane DFT_128: (rows, n1) x G (n1, k1) -> (rows, k1)
+    dims2 = (((1,), (0,)), ((), ()))
+    o_re, o_im = _cdot(a_re, a_im, g_re, g_im, g_sum, dims2, precision)
+    return o_re.reshape(tile_t, c, LANES), o_im.reshape(tile_t, c, LANES)
+
+
+def emit_fft_rev(xr, xi, consts, *, n: int, inverse: bool = False,
+                 precision: str = "highest"):
+    """Kernel B: revblock-layout input tile -> natural-layout FFT (mirror).
+
+    Consumes the layout emit_fft produces: [t, j2, j1] holds z[j1*C + j2].
+    Returns (T, C, 128) values in natural layout: [t, m2, m1] = Z[m1+128*m2].
+    With inverse-direction consts this is the relayout-free inverse of
+    emit_fft's forward — FFT-shift-free convolution pipelines use exactly
+    this pair (the reference's fft_reorder=0 use case, README.md:30-33).
+    """
+    t_re, t_im, g_re, g_im, g_sum = consts
+    tile_t = xr.shape[0]
+    c = max(1, n // LANES)
+    sign = +1.0 if inverse else -1.0
+
+    if c == 1:
+        a_re = xr.reshape(tile_t, LANES)
+        a_im = xi.reshape(tile_t, LANES)
+        dims2 = (((1,), (0,)), ((), ()))
+        o_re, o_im = _cdot(a_re, a_im, g_re, g_im, g_sum, dims2, precision)
+        return o_re.reshape(tile_t, 1, LANES), o_im.reshape(tile_t, 1, LANES)
+
+    # lane DFT first: contract j1 -> m1:  (T, j2, 128) -> rows (T*j2, 128)
+    a_re = xr.reshape(tile_t * c, LANES)
+    a_im = xi.reshape(tile_t * c, LANES)
+    dims2 = (((1,), (0,)), ((), ()))
+    s_re, s_im = _cdot(a_re, a_im, g_re, g_im, g_sum, dims2, precision)
+    s_re = s_re.reshape(tile_t, c, LANES)
+    s_im = s_im.reshape(tile_t, c, LANES)
+    # twiddle w_N^{j2*m1}: same (C, 128) table shape as kernel A's, now
+    # indexed [j2, m1], broadcast over T -> (1, C, 128)
+    w_re, w_im = t_re[None, :, :], t_im[None, :, :]
+    p_re = s_re * w_re - s_im * w_im
+    p_im = s_re * w_im + s_im * w_re
+    # plane-axis DFT_C over j2 -> m2 (VPU recursive DIT, no transposes)
+    o_re, o_im = _plane_dft(p_re, p_im, c, sign)
+    return o_re, o_im
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers — standalone transforms (analogue of
+# SMFFT_DIT_external / SMFFT_DIT_multiple, FFT-GPU-32bit.cu:534-572).
+# ---------------------------------------------------------------------------
+
+
+def default_tile(n: int) -> int:
+    """Batch-tile rows per grid step.
+
+    The kernel keeps ~a dozen tile-sized planar buffers live on the Mosaic
+    VMEM stack (the plane ladder adds per-stage copies); empirically
+    tile*c <= 1024 rows (512 KB per plane buffer) compiles within the
+    scoped-VMEM budget on v5e while the lane matmul's M dimension (tile*c)
+    stays MXU-saturating."""
+    c = max(1, n // LANES)
+    return int(max(8, min(512, 1024 // c)))
+
+
+@functools.lru_cache(maxsize=None)
+def _build(n: int, inverse: bool, rev_in: bool, precision: str,
+           tile_t: int, multiple_iters: int = 0, fused_scale: bool = False):
+    """Jitted planar FFT for static (n, direction, kernel style).
+
+    rev_in=False -> kernel A (natural in, revblock out);
+    rev_in=True  -> kernel B (revblock in, natural out).
+    multiple_iters > 0 re-applies the core in VMEM (NREUSES analogue,
+    FFT-GPU-32bit.cu:553-572) before the final store.
+    fused_scale adds a scalar input multiplied into the data at load time
+    (free normalization; also lets benchmark loops carry only a scalar so
+    XLA cannot promote the HBM working set into VMEM).
+    """
+    c = max(1, n // LANES)
+    # Pack pgroup transforms per block row-group so the minor-two dims of
+    # every buffer are (>=8, 128): c < 8 would otherwise force a sublane-
+    # padded T(c,128) tiling that wastes 2-8x VMEM and HBM-staging space.
+    pgroup = max(1, 8 // c)
+    if tile_t % pgroup:
+        tile_t = max(pgroup, tile_t - tile_t % pgroup)
+    tile_g = tile_t // pgroup
+    emit = emit_fft_rev if rev_in else emit_fft
+    n_extra = 1 if fused_scale else 0
+
+    nc = n_consts(n)
+
+    def kernel(*refs):
+        xr_ref, xi_ref = refs[0], refs[1]
+        consts = read_consts(refs[2:2 + nc])
+        our_ref, oui_ref = refs[2 + nc + n_extra:][:2]
+        xr = xr_ref[:].reshape(tile_t, c, LANES)
+        xi = xi_ref[:].reshape(tile_t, c, LANES)
+        if fused_scale:
+            s = refs[2 + nc][0]
+            xr = xr * s
+            xi = xi * s
+        if multiple_iters:
+            scale = np.float32(1.0 / math.sqrt(float(n)))
+
+            def body(_, carry):
+                r, i = carry
+                o_r, o_i = emit(r, i, consts, n=n, inverse=inverse,
+                                precision=precision)
+                return o_r * scale, o_i * scale
+            xr, xi = jax.lax.fori_loop(0, multiple_iters, body, (xr, xi))
+        o_r, o_i = emit(xr, xi, consts, n=n, inverse=inverse,
+                        precision=precision)
+        our_ref[:] = o_r.reshape(tile_g, pgroup * c, LANES)
+        oui_ref[:] = o_i.reshape(tile_g, pgroup * c, LANES)
+
+    data_spec = pl.BlockSpec((tile_g, pgroup * c, LANES),
+                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * nc
+    scale_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] if fused_scale
+                   else [])
+    consts = const_arrays(n, inverse)
+
+    @jax.jit
+    def run(vr, vi, scale=None):
+        b, n_row = vr.shape
+        bg = b // pgroup
+        grid = bg // tile_g
+        nffts = b * n_row // n
+        cost = pl.CostEstimate(
+            flops=6 * n * (c + LANES) * max(1, multiple_iters) * nffts,
+            bytes_accessed=b * c * LANES * 4 * 4,
+            transcendentals=0)
+        extra = (scale.reshape(1),) if fused_scale else ()
+        o_r, o_i = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[data_spec, data_spec] + const_specs + scale_specs,
+            out_specs=(data_spec, data_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((bg, pgroup * c, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((bg, pgroup * c, LANES), jnp.float32)),
+            cost_estimate=cost,
+            interpret=_INTERPRET,
+        )(vr.reshape(bg, pgroup * c, LANES),
+          vi.reshape(bg, pgroup * c, LANES), *consts, *extra)
+        return o_r.reshape(b, n_row), o_i.reshape(b, n_row)
+
+    return run
+
+
+def _pick_tile(b: int, n: int, tile_t: int | None) -> int:
+    c = max(1, n // LANES)
+    pgroup = max(1, 8 // c)
+    if b % pgroup:
+        raise ValueError(
+            f"n={n}: batch rows {b} must be a multiple of {pgroup} "
+            f"(row-group packing)")
+    tile = tile_t or default_tile(n)
+    tile = max(pgroup, tile - tile % pgroup)
+    while tile > pgroup and b % tile:
+        tile //= 2
+        tile = max(pgroup, tile - tile % pgroup)
+    if b % tile:
+        raise ValueError(f"batch rows {b} not divisible by tile {tile}")
+    return tile
+
+
+def fft_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
+               inverse: bool = False, rev_in: bool = False,
+               precision: str = "highest", tile_t: int | None = None,
+               multiple_iters: int = 0, scale=None):
+    """Planar batched FFT, single fused HBM pass (layouts per kernel A/B).
+
+    vr, vi: fp32 (B_rows, n_row), n_row = max(n, 128); rows pack 128/n
+    transforms when n < 128 (nFFTs divisibility mirrors the reference,
+    FFT-GPU-32bit.cu:835-836).  ``scale`` (scalar array) is multiplied into
+    the input inside the kernel (fused, free).
+    """
+    tile = _pick_tile(vr.shape[0], n, tile_t)
+    run = _build(n, inverse, rev_in, precision, tile, multiple_iters,
+                 scale is not None)
+    if scale is not None:
+        return run(vr, vi, jnp.asarray(scale, jnp.float32))
+    return run(vr, vi)
+
+
+# ---------------------------------------------------------------------------
+# Complex convenience wrappers (jit-safe; XLA stores complex64 planar on
+# TPU so real/imag/complex are layout no-ops).
+# ---------------------------------------------------------------------------
+
+
+def _to_rows(x, n):
+    batch_shape = x.shape[:-1]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    pack = max(1, LANES // n)
+    if b % pack:
+        raise ValueError(
+            f"n={n} packs {pack} transforms per row: batch must be a "
+            f"multiple of {pack} (reference rule, FFT-GPU-32bit.cu:835-836)")
+    rows = b // pack
+    return (jnp.real(x).reshape(rows, max(n, LANES)),
+            jnp.imag(x).reshape(rows, max(n, LANES)), batch_shape)
+
+
+def fft_pallas(x: jnp.ndarray, inverse: bool = False, ordered: bool = True,
+               precision: str = "highest") -> jnp.ndarray:
+    """Batched C2C FFT via the fused Pallas kernel.
+
+    ordered=True returns natural-order output (for N >= 256 this adds the
+    four-step transpose as an XLA epilogue); ordered=False returns the
+    revblock layout out[..., k2*128 + k1] = X[k1*C + k2] in one fused pass
+    (the fft_reorder=0 analogue; pair with ifft_pallas_rev for relayout-
+    free roundtrips).
+    """
+    n = x.shape[-1]
+    if n not in P.SUPPORTED_C2C_SIZES:
+        raise ValueError(f"Error wrong FFT length! N={n}")
+    vr, vi, batch_shape = _to_rows(x, n)
+    o_r, o_i = fft_planar(vr, vi, n, inverse=inverse, precision=precision)
+    c = max(1, n // LANES)
+    if ordered and c > 1:
+        b = o_r.shape[0]
+        o_r = o_r.reshape(b, c, LANES).swapaxes(-1, -2).reshape(b, n)
+        o_i = o_i.reshape(b, c, LANES).swapaxes(-1, -2).reshape(b, n)
+    out = jax.lax.complex(o_r, o_i)
+    return out.reshape(batch_shape + (n,))
+
+
+def ifft_pallas_rev(x: jnp.ndarray, precision: str = "highest",
+                    forward: bool = False) -> jnp.ndarray:
+    """Inverse C2C FFT consuming revblock-layout input (the output of
+    fft_pallas(ordered=False)), producing natural order in one fused pass.
+    Unnormalized (reference contract, SURVEY.md quirk 3)."""
+    n = x.shape[-1]
+    if n not in P.SUPPORTED_C2C_SIZES:
+        raise ValueError(f"Error wrong FFT length! N={n}")
+    vr, vi, batch_shape = _to_rows(x, n)
+    o_r, o_i = fft_planar(vr, vi, n, inverse=not forward, rev_in=True,
+                          precision=precision)
+    out = jax.lax.complex(o_r, o_i)
+    return out.reshape(batch_shape + (n,))

@@ -1,0 +1,70 @@
+"""Batch sharding of FFT workloads over a TPU device mesh.
+
+The reference's only parallelism is one FFT per CUDA block over a grid
+(FFT-GPU-32bit.cu:586-595) in a single GPU.  The TPU-native scale-out of
+the same design is data parallelism over the batch axis: each chip runs
+the identical fused kernel on its shard; there is no cross-FFT data flow,
+so no collectives are inserted (SURVEY.md §2.4 — "do not invent" axes the
+reference doesn't have).
+
+Usage:
+    mesh = batch_mesh()                       # all devices on axis "batch"
+    y = sharded_fft(x, mesh)                  # x: (B, N) complex, B % ndev == 0
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+
+
+def batch_mesh(devices=None, axis_name: str = "batch") -> Mesh:
+    """1-D mesh over all (or given) devices, batch axis only."""
+    devices = np.array(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (axis_name,))
+
+
+def shard_batch(x: jnp.ndarray, mesh: Mesh, axis_name: str = "batch"):
+    """Place x with its leading axis sharded over the mesh."""
+    spec = PSpec(axis_name, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def sharded_fft(x: jnp.ndarray, mesh: Mesh, *, inverse: bool = False,
+                ordered: bool = True, backend: str = "auto",
+                precision: str = "highest", axis_name: str = "batch"):
+    """Batched C2C FFT with the batch axis sharded across the mesh.
+
+    Implemented with jax.jit + sharding annotations: XLA SPMD-partitions
+    the program; since every FFT is row-local, the partitioned program has
+    zero collectives and each chip runs the same fused kernel on B/ndev
+    rows.  (shard_map would be equivalent here; annotations keep the code
+    composable with outer jits.)
+    """
+    from smfft_tpu import api
+
+    spec = PSpec(axis_name, *([None] * (x.ndim - 1)))
+    sharding = NamedSharding(mesh, spec)
+    x = jax.lax.with_sharding_constraint(
+        jax.device_put(x, sharding), sharding)
+
+    fn = partial(api.ifft if inverse else api.fft, ordered=ordered,
+                 backend=backend, precision=precision)
+    return jax.jit(fn, out_shardings=sharding)(x)
+
+
+def sharded_rfft(x: jnp.ndarray, mesh: Mesh, *, backend: str = "auto",
+                 precision: str = "highest", axis_name: str = "batch"):
+    """Batched R2C with the batch axis sharded across the mesh."""
+    from smfft_tpu import api
+
+    spec = PSpec(axis_name, *([None] * (x.ndim - 1)))
+    sharding = NamedSharding(mesh, spec)
+    x = jax.device_put(x, sharding)
+    out_spec = PSpec(axis_name, *([None] * (x.ndim - 1)))
+    fn = partial(api.rfft, backend=backend, precision=precision)
+    return jax.jit(fn, out_shardings=NamedSharding(mesh, out_spec))(x)

@@ -1,0 +1,67 @@
+"""R2C/C2R Pallas-path tests (interpreter mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import smfft_tpu.ops.pallas_c2c as PC
+import smfft_tpu.ops.pallas_real as PR
+from smfft_tpu.params import SUPPORTED_REAL_SIZES
+
+from conftest import max_abs_err
+
+
+@pytest.fixture(autouse=True, scope="module")
+def interpret_mode():
+    PC.set_interpret(True)
+    yield
+    PC.set_interpret(False)
+
+
+def tol(n):
+    return 5e-7 * n ** 0.75 * 8
+
+
+@pytest.mark.parametrize("n", SUPPORTED_REAL_SIZES)
+def test_rfft_numpy_layout(rng, n):
+    x = (rng.random((128, n)) - 0.5).astype(np.float32)
+    got = np.asarray(PR.rfft_pallas(jnp.array(x)))
+    assert got.shape == (128, n // 2 + 1)
+    assert max_abs_err(got, np.fft.rfft(x.astype(np.float64))) < tol(n)
+
+
+@pytest.mark.parametrize("n", [256, 2048, 8192])
+def test_rfft_packed_layout(rng, n):
+    """Packed slot-0 = (DC, Nyquist) contract
+    (reference FFT-GPU-32bit-Stockham.cu:332-340, FFT.c:136-143)."""
+    x = (rng.random((128, n)) - 0.5).astype(np.float32)
+    got = np.asarray(PR.rfft_pallas(jnp.array(x), packed=True))
+    ref = np.fft.rfft(x.astype(np.float64))
+    assert got.shape == (128, n // 2)
+    assert max_abs_err(got[..., 0].real, ref[..., 0].real) < tol(n)
+    assert max_abs_err(got[..., 0].imag, ref[..., n // 2].real) < tol(n)
+    assert max_abs_err(got[..., 1:], ref[..., 1:n // 2]) < tol(n)
+
+
+@pytest.mark.parametrize("n", [256, 1024])
+@pytest.mark.parametrize("packed", [False, True])
+def test_c2r_unnormalized_roundtrip(rng, n, packed):
+    """C2R(R2C(x)) == (N/2) * x — the reference's disabled TEST_C2R promoted
+    to a real test (FFT-GPU-32bit-Stockham.cu:595-623)."""
+    x = (rng.random((128, n)) - 0.5).astype(np.float32)
+    spec = PR.rfft_pallas(jnp.array(x), packed=packed)
+    back = np.asarray(PR.irfft_pallas(spec, n, packed=packed)) / (n // 2)
+    assert max_abs_err(back, x) < tol(n)
+
+
+def test_irfft_from_numpy_spectrum(rng):
+    n = 512
+    x = (rng.random((128, n)) - 0.5).astype(np.float32)
+    spec = np.fft.rfft(x.astype(np.float64)).astype(np.complex64)
+    got = np.asarray(PR.irfft_pallas(jnp.array(spec), n)) / (n // 2)
+    assert max_abs_err(got, x) < tol(n)
+
+
+def test_wrong_real_length():
+    with pytest.raises(ValueError, match="wrong FFT length"):
+        PR.rfft_pallas(jnp.zeros((4, 48), jnp.float32))

@@ -1,0 +1,50 @@
+"""Multi-chip batch-sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from smfft_tpu.parallel import batch_mesh, shard_batch, sharded_fft
+from smfft_tpu.parallel.sharding import sharded_rfft
+
+from conftest import max_abs_err
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_fft_matches_numpy(rng):
+    mesh = batch_mesh()
+    x = (rng.random((64, 256)) + 1j * rng.random((64, 256))
+         - 0.5 - 0.5j).astype(np.complex64)
+    y = sharded_fft(jnp.array(x), mesh, backend="xla")
+    assert max_abs_err(y, np.fft.fft(x.astype(np.complex128))) < 1e-4
+    # output stays batch-sharded over all 8 devices
+    assert len(y.sharding.device_set) == 8
+
+
+def test_shard_batch_placement(rng):
+    mesh = batch_mesh()
+    x = jnp.zeros((64, 512), jnp.float32)
+    xs = shard_batch(x, mesh)
+    assert len(xs.sharding.device_set) == 8
+    shard_shapes = {s.data.shape for s in xs.addressable_shards}
+    assert shard_shapes == {(8, 512)}
+
+
+def test_sharded_rfft(rng):
+    mesh = batch_mesh()
+    x = (rng.random((64, 512)) - 0.5).astype(np.float32)
+    y = sharded_rfft(jnp.array(x), mesh, backend="xla")
+    assert max_abs_err(y, np.fft.rfft(x.astype(np.float64))) < 1e-4
+
+
+def test_sharded_inverse_roundtrip(rng):
+    mesh = batch_mesh()
+    x = (rng.random((64, 1024)) + 1j * rng.random((64, 1024))
+         - 0.5 - 0.5j).astype(np.complex64)
+    y = sharded_fft(jnp.array(x), mesh, backend="xla")
+    back = sharded_fft(y, mesh, inverse=True, backend="xla")
+    assert max_abs_err(back, x) < 1e-5
