@@ -53,6 +53,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from smfft_tpu import api, native
+
+    # eager ops on complex arrays are unsupported on some backends (axon);
+    # force completion through a jitted real-valued reduction
+    force = jax.jit(lambda a: jnp.sum(jnp.abs(jnp.real(a[:1, :8]))))
     from smfft_tpu.ops import matmul_fft
     from smfft_tpu.utils import transfer
 
@@ -87,39 +91,61 @@ def main(argv=None):
                   else np.fft.fft(x.astype(np.complex128)))
 
         xd = transfer.to_device_complex(x)
-        fn = api.ifft if args.inverse else api.fft
+        import functools
         kw = dict(ordered=bool(args.reorder), backend=args.backend,
                   precision=args.precision)
         if args.inverse:
             kw["norm"] = None  # reference contract: unnormalized
+        # jit the whole transform: eager complex intermediates are
+        # unsupported on some backends (axon)
+        fn = jax.jit(functools.partial(
+            api.ifft if args.inverse else api.fft, **kw))
+        kw = {}
+        _ = float(force(fn(xd, **kw)))  # compile warm-up (untimed, like
+        # the reference timing kernels only, FFT-GPU-32bit.cu:868-869)
         times = []
         out = None
         for _ in range(args.n_runs):
             t0 = time.perf_counter()
             out = fn(xd, **kw)
-            _ = float(jnp.sum(jnp.abs(jnp.real(out[:1, :8]))))
+            _ = float(force(out))
             times.append(time.perf_counter() - t0)
         got = transfer.from_device_complex(out)
         if not args.reorder:
-            # digit-reversed contract: un-permute before comparing — the
-            # reference skips verification here (FFT.c:161-163); we don't.
-            c = max(1, n // 128)
-            if c > 1:
-                got = got.reshape(n_ffts, c, 128).transpose(0, 2, 1).reshape(
-                    n_ffts, n)
+            # unordered output is a backend-defined fixed permutation; the
+            # reference skips verification here (FFT.c:161-163) — we
+            # un-permute per backend and verify anyway.
+            backend = args.backend
+            if backend == "auto":
+                backend = ("pallas" if jax.default_backend() == "tpu"
+                           else "xla")
+            if backend == "pallas":
+                c = max(1, n // 128)
+                if c > 1:
+                    got = got.reshape(n_ffts, c, 128).transpose(
+                        0, 2, 1).reshape(n_ffts, n)
+            else:
+                from smfft_tpu import params as _P
+                perm = matmul_fft.digit_reverse_indices(
+                    n, _P.get_factorization(n))
+                got = got[:, perm]
         stats = native.compare(got, golden.astype(np.complex64),
                                args.tolerance)
     elif args.kind == "r2c":
         x = native.generate_uniform(n_ffts * n, args.seed).reshape(n_ffts, n)
         golden = np.fft.rfft(x.astype(np.float64)).astype(np.complex64)
         xd = jnp.array(x)
+        import functools
+        packed_real = jax.jit(functools.partial(
+            api.fft_packed_real, backend=args.backend,
+            precision=args.precision))
+        _ = float(force(packed_real(xd)))
         times = []
         out = None
         for _ in range(args.n_runs):
             t0 = time.perf_counter()
-            out = api.fft_packed_real(xd, backend=args.backend,
-                                      precision=args.precision)
-            _ = float(jnp.sum(jnp.abs(jnp.real(out[:1, :8]))))
+            out = packed_real(xd)
+            _ = float(force(out))
             times.append(time.perf_counter() - t0)
         got = transfer.from_device_complex(out)
         stats = native.compare_r2c_packed(got, golden, args.tolerance)
@@ -129,13 +155,17 @@ def main(argv=None):
         spec = np.fft.rfft(xsig.astype(np.float64)).astype(np.complex64)
         golden = xsig  # unnormalized output compares at scale N/2
         sd = transfer.to_device_complex(spec)
+        import functools
+        irfft = jax.jit(functools.partial(
+            api.irfft, n=n, backend=args.backend,
+            precision=args.precision, norm=None))
+        _ = float(force(irfft(sd)))
         times = []
         out = None
         for _ in range(args.n_runs):
             t0 = time.perf_counter()
-            out = api.irfft(sd, n=n, backend=args.backend,
-                            precision=args.precision, norm=None)
-            _ = float(jnp.sum(jnp.abs(out[:1, :8])))
+            out = irfft(sd)
+            _ = float(force(out))
             times.append(time.perf_counter() - t0)
         got = np.asarray(out)
         stats = native.compare_real(got, golden, got_scale=n // 2,
