@@ -100,10 +100,15 @@ def main():
             ext_gbs.append(entry["external_gbs"])
             log(f"n={n:5d} external: {per*1e3:8.3f} ms  "
                 f"{entry['external_gbs']:6.1f} GB/s")
+            per_h = timed(lambda s: PC.fft_planar(
+                vr, vi, n, scale=s, precision="high"))
+            entry["external_high_gbs"] = traffic / per_h / 1e9
+            log(f"n={n:5d} external(high): {per_h*1e3:8.3f} ms  "
+                f"{entry['external_high_gbs']:6.1f} GB/s")
             # multiple path: same rows, MULT_ITERS in-VMEM re-applications,
             # 1/MULT_ITERS of the data (reference grid=nFFTs/100 contract)
             rows_m = max(8, rows // MULT_ITERS)
-            rows_m -= rows_m % 8
+            rows_m = 1 << (rows_m.bit_length() - 1)  # keep tiles large
             vr_m = devdata(rows_m, ncols, 4 * n)
             vi_m = devdata(rows_m, ncols, 4 * n + 1)
             per_m = timed(lambda s: PC.fft_planar(
@@ -126,13 +131,16 @@ def main():
          ).astype(np.complex64)
     vr = jnp.array(np.ascontiguousarray(x.real))
     vi = jnp.array(np.ascontiguousarray(x.imag))
-    o_r, o_i = PC.fft_planar(vr, vi, n)
-    got = np.asarray(o_r) + 1j * np.asarray(o_i)
+    ref = np.fft.fft(x.astype(np.complex128))
     c = n // 128
-    got = got.reshape(-1, c, 128).transpose(0, 2, 1).reshape(-1, n)
-    err = float(np.max(np.abs(got - np.fft.fft(x.astype(np.complex128)))))
-    details["max_abs_err_n1024"] = err
-    log(f"correctness: max abs err vs numpy.fft (N=1024) = {err:.3e}")
+    for prec in ("highest", "high", "default"):
+        o_r, o_i = PC.fft_planar(vr, vi, n, precision=prec)
+        got = np.asarray(o_r) + 1j * np.asarray(o_i)
+        got = got.reshape(-1, c, 128).transpose(0, 2, 1).reshape(-1, n)
+        err = float(np.max(np.abs(got - ref)))
+        details[f"max_abs_err_n1024_{prec}"] = err
+        log(f"correctness({prec}): max abs err vs numpy.fft (N=1024) "
+            f"= {err:.3e}")
 
     value = float(np.exp(np.mean(np.log(ext_gbs)))) if ext_gbs else 0.0
     details["external_geomean_gbs"] = value

@@ -56,6 +56,12 @@ _PREC = {
     "highest": jax.lax.Precision.HIGHEST,
 }
 
+_NO_COST = False
+
+# Perf-ablation hook (debug only): "" normal; "no_plane" skips the sublane
+# DFT; "no_twiddle" skips the main twiddle; "copy_only" skips everything.
+_ABLATE = ""
+
 # Interpret mode runs the kernels through the Pallas interpreter (any
 # backend, incl. CPU) — used by the test suite; real deployments compile
 # through Mosaic.  Toggled via set_interpret(); affects new builds only.
@@ -129,28 +135,47 @@ def read_consts(refs):
 # ---------------------------------------------------------------------------
 
 
+def _split_bf16(x):
+    """Split fp32 into (hi, lo) bf16 pair with x ~= hi + lo."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_any(x, w, dims, precision):
+    """Real dot_general at the requested precision.
+
+    "high" is the 3-pass bf16 scheme (x_hi*w_hi + x_hi*w_lo + x_lo*w_hi,
+    fp32 accumulation) implemented manually — Mosaic rejects
+    lax.Precision.HIGH — at ~2x the throughput of "highest" (6-pass) for
+    ~2^-16 relative error instead of fp32-exact."""
+    if precision == "high":
+        xh, xl = _split_bf16(x)
+        wh, wl = _split_bf16(w)
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, dimension_numbers=dims,
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+        return dot(xh, wh) + (dot(xh, wl) + dot(xl, wh))
+    return jax.lax.dot_general(
+        x, w, dimension_numbers=dims, precision=_PREC[precision],
+        preferred_element_type=jnp.float32)
+
+
 def _cdot(ar, ai, br, bi, bs, dims, precision):
     """3-mult complex dot_general of planar (ar, ai) with planar constant
     (br, bi); bs = br + bi."""
-    prec = _PREC[precision]
-    dot = lambda x, w: jax.lax.dot_general(
-        x, w, dimension_numbers=dims, precision=prec,
-        preferred_element_type=jnp.float32)
-    t1 = dot(ar, br)
-    t2 = dot(ai, bi)
-    t3 = dot(ar + ai, bs)
+    t1 = _dot_any(ar, br, dims, precision)
+    t2 = _dot_any(ai, bi, dims, precision)
+    t3 = _dot_any(ar + ai, bs, dims, precision)
     return t1 - t2, t3 - t1 - t2
 
 
 def _cdot_lhs(br, bi, bs, xr, xi, dims, precision):
     """3-mult complex dot_general with the constant matrix as LHS."""
-    prec = _PREC[precision]
-    dot = lambda w, x: jax.lax.dot_general(
-        w, x, dimension_numbers=dims, precision=prec,
-        preferred_element_type=jnp.float32)
-    t1 = dot(br, xr)
-    t2 = dot(bi, xi)
-    t3 = dot(bs, xr + xi)
+    t1 = _dot_any(br, xr, dims, precision)
+    t2 = _dot_any(bi, xi, dims, precision)
+    t3 = _dot_any(bs, xr + xi, dims, precision)
     return t1 - t2, t3 - t1 - t2
 
 
@@ -174,32 +199,58 @@ def _cmul_scalar(re, im, wr: float, wi: float):
     return re * wr - im * wi, re * wi + im * wr
 
 
+def _w_scalar(sign: float, k: int, c: int):
+    ang = sign * 2.0 * math.pi * k / c
+    wr, wi = math.cos(ang), math.sin(ang)
+    for exact in (0.0, 1.0, -1.0):  # snap so _cmul_scalar special-cases hit
+        if abs(wr - exact) < 1e-12:
+            wr = exact
+        if abs(wi - exact) < 1e-12:
+            wi = exact
+    return wr, wi
+
+
 def _plane_dft_list(pre, pim, sign: float):
-    """Recursive radix-2 DIT DFT over a python list of (T, 128) planes.
+    """Recursive radix-4 (radix-2 fallback) DIT DFT over a python list of
+    (T, 128) planes.
 
     Plane extraction/recombination is a leading-dim operation — no
-    lane/sublane relayout — so the C-point sublane transform costs
-    ~5*log2(C) VPU flops/point with python-scalar twiddles.  This replaces
-    both the reference's padded-shared-memory exchange stages
+    lane/sublane relayout — so the C-point sublane transform costs a few
+    VPU flops/point/level with python-scalar twiddles.  Radix-4 halves the
+    number of levels (and therefore intermediate-value traffic) vs radix-2.
+    This replaces both the reference's padded-shared-memory exchange stages
     (FFT-GPU-32bit.cu:456-490) and a Mosaic-hostile tiny matmul.
     """
     c = len(pre)
     if c == 1:
         return pre, pim
+    if c % 4 == 0:
+        sub = [_plane_dft_list(pre[j::4], pim[j::4], sign) for j in range(4)]
+        q = c // 4
+        out_r = [None] * c
+        out_i = [None] * c
+        for k in range(q):
+            # twiddled sub-transform outputs t_j = w_c^{j*k} * X_j[k]
+            t = [ _cmul_scalar(sub[j][0][k], sub[j][1][k],
+                               *_w_scalar(sign, j * k, c)) for j in range(4)]
+            # radix-4 butterfly; +-i depends on direction
+            a0r, a0i = t[0][0] + t[2][0], t[0][1] + t[2][1]
+            a1r, a1i = t[0][0] - t[2][0], t[0][1] - t[2][1]
+            a2r, a2i = t[1][0] + t[3][0], t[1][1] + t[3][1]
+            a3r, a3i = t[1][0] - t[3][0], t[1][1] - t[3][1]
+            # j3 = sign * i * a3  (multiply by -i for forward sign=-1)
+            j3r, j3i = (-a3i, a3r) if sign > 0 else (a3i, -a3r)
+            out_r[k],          out_i[k]          = a0r + a2r, a0i + a2i
+            out_r[k + q],      out_i[k + q]      = a1r + j3r, a1i + j3i
+            out_r[k + 2 * q],  out_i[k + 2 * q]  = a0r - a2r, a0i - a2i
+            out_r[k + 3 * q],  out_i[k + 3 * q]  = a1r - j3r, a1i - j3i
+        return out_r, out_i
     er, ei = _plane_dft_list(pre[0::2], pim[0::2], sign)
     orr, oi = _plane_dft_list(pre[1::2], pim[1::2], sign)
     out_r = [None] * c
     out_i = [None] * c
     for k in range(c // 2):
-        ang = sign * 2.0 * math.pi * k / c
-        wr, wi = math.cos(ang), math.sin(ang)
-        # snap near-exact twiddles so the special cases kick in
-        for exact in (0.0, 1.0, -1.0):
-            if abs(wr - exact) < 1e-12:
-                wr = exact
-            if abs(wi - exact) < 1e-12:
-                wi = exact
-        tr, ti = _cmul_scalar(orr[k], oi[k], wr, wi)
+        tr, ti = _cmul_scalar(orr[k], oi[k], *_w_scalar(sign, k, c))
         out_r[k], out_i[k] = er[k] + tr, ei[k] + ti
         out_r[k + c // 2], out_i[k + c // 2] = er[k] - tr, ei[k] - ti
     return out_r, out_i
@@ -232,23 +283,34 @@ def emit_fft(xr, xi, consts, *, n: int, inverse: bool = False,
     c = max(1, n // LANES)
     sign = +1.0 if inverse else -1.0
 
+    if _ABLATE == "copy_only":
+        return xr, xi
     if c > 1:
         # plane-axis DFT_C over n2 -> k2 (VPU recursive DIT, stays
         # (T, C, 128) with k2 in plane position — no transposes anywhere)
-        s_re, s_im = _plane_dft(xr, xi, c, sign)
-        # twiddle w_N^{k2*n1}: tables (C, 128) -> broadcast (1, C, 128)
-        w_re, w_im = t_re[None, :, :], t_im[None, :, :]
-        p_re = s_re * w_re - s_im * w_im
-        p_im = s_re * w_im + s_im * w_re
+        if _ABLATE == "no_plane":
+            s_re, s_im = xr, xi
+        else:
+            s_re, s_im = _plane_dft(xr, xi, c, sign)
+        if _ABLATE == "no_twiddle":
+            p_re, p_im = s_re, s_im
+        else:
+            # twiddle w_N^{k2*n1}: tables (C, 128) -> broadcast (1, C, 128)
+            w_re, w_im = t_re[None, :, :], t_im[None, :, :]
+            p_re = s_re * w_re - s_im * w_im
+            p_im = s_re * w_im + s_im * w_re
         a_re = p_re.reshape(tile_t * c, LANES)
         a_im = p_im.reshape(tile_t * c, LANES)
     else:
         a_re = xr.reshape(tile_t, LANES)
         a_im = xi.reshape(tile_t, LANES)
 
-    # lane DFT_128: (rows, n1) x G (n1, k1) -> (rows, k1)
-    dims2 = (((1,), (0,)), ((), ()))
-    o_re, o_im = _cdot(a_re, a_im, g_re, g_im, g_sum, dims2, precision)
+    if _ABLATE == "no_matmul":
+        o_re, o_im = a_re, a_im
+    else:
+        # lane DFT_128: (rows, n1) x G (n1, k1) -> (rows, k1)
+        dims2 = (((1,), (0,)), ((), ()))
+        o_re, o_im = _cdot(a_re, a_im, g_re, g_im, g_sum, dims2, precision)
     return o_re.reshape(tile_t, c, LANES), o_im.reshape(tile_t, c, LANES)
 
 
@@ -323,13 +385,6 @@ def _build(n: int, inverse: bool, rev_in: bool, precision: str,
     XLA cannot promote the HBM working set into VMEM).
     """
     c = max(1, n // LANES)
-    # Pack pgroup transforms per block row-group so the minor-two dims of
-    # every buffer are (>=8, 128): c < 8 would otherwise force a sublane-
-    # padded T(c,128) tiling that wastes 2-8x VMEM and HBM-staging space.
-    pgroup = max(1, 8 // c)
-    if tile_t % pgroup:
-        tile_t = max(pgroup, tile_t - tile_t % pgroup)
-    tile_g = tile_t // pgroup
     emit = emit_fft_rev if rev_in else emit_fft
     n_extra = 1 if fused_scale else 0
 
@@ -339,6 +394,8 @@ def _build(n: int, inverse: bool, rev_in: bool, precision: str,
         xr_ref, xi_ref = refs[0], refs[1]
         consts = read_consts(refs[2:2 + nc])
         our_ref, oui_ref = refs[2 + nc + n_extra:][:2]
+        # blocks are 2D (tile_t*c, 128) — rank-2 I/O DMAs pipeline ~3x
+        # faster than rank-3 on this hardware; the reshape is free
         xr = xr_ref[:].reshape(tile_t, c, LANES)
         xi = xi_ref[:].reshape(tile_t, c, LANES)
         if fused_scale:
@@ -356,11 +413,11 @@ def _build(n: int, inverse: bool, rev_in: bool, precision: str,
             xr, xi = jax.lax.fori_loop(0, multiple_iters, body, (xr, xi))
         o_r, o_i = emit(xr, xi, consts, n=n, inverse=inverse,
                         precision=precision)
-        our_ref[:] = o_r.reshape(tile_g, pgroup * c, LANES)
-        oui_ref[:] = o_i.reshape(tile_g, pgroup * c, LANES)
+        our_ref[:] = o_r.reshape(tile_t * c, LANES)
+        oui_ref[:] = o_i.reshape(tile_t * c, LANES)
 
-    data_spec = pl.BlockSpec((tile_g, pgroup * c, LANES),
-                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    data_spec = pl.BlockSpec((tile_t * c, LANES),
+                             lambda i: (i, 0), memory_space=pltpu.VMEM)
     const_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * nc
     scale_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] if fused_scale
                    else [])
@@ -369,43 +426,43 @@ def _build(n: int, inverse: bool, rev_in: bool, precision: str,
     @jax.jit
     def run(vr, vi, scale=None):
         b, n_row = vr.shape
-        bg = b // pgroup
-        grid = bg // tile_g
+        grid = b // tile_t
         nffts = b * n_row // n
-        cost = pl.CostEstimate(
+        cost = None if _NO_COST else pl.CostEstimate(
             flops=6 * n * (c + LANES) * max(1, multiple_iters) * nffts,
             bytes_accessed=b * c * LANES * 4 * 4,
             transcendentals=0)
         extra = (scale.reshape(1),) if fused_scale else ()
+        compiler_params = None
+        if not _INTERPRET:
+            # raise the scoped-VMEM budget (v5e has 128 MB physical); the
+            # default budget caps tiles small enough that per-grid-step
+            # overhead dominates the HBM pipeline
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel",))
         o_r, o_i = pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=[data_spec, data_spec] + const_specs + scale_specs,
             out_specs=(data_spec, data_spec),
             out_shape=(
-                jax.ShapeDtypeStruct((bg, pgroup * c, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((bg, pgroup * c, LANES), jnp.float32)),
+                jax.ShapeDtypeStruct((b * c, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((b * c, LANES), jnp.float32)),
             cost_estimate=cost,
+            compiler_params=compiler_params,
             interpret=_INTERPRET,
-        )(vr.reshape(bg, pgroup * c, LANES),
-          vi.reshape(bg, pgroup * c, LANES), *consts, *extra)
+        )(vr.reshape(b * c, LANES), vi.reshape(b * c, LANES),
+          *consts, *extra)
         return o_r.reshape(b, n_row), o_i.reshape(b, n_row)
 
     return run
 
 
 def _pick_tile(b: int, n: int, tile_t: int | None) -> int:
-    c = max(1, n // LANES)
-    pgroup = max(1, 8 // c)
-    if b % pgroup:
-        raise ValueError(
-            f"n={n}: batch rows {b} must be a multiple of {pgroup} "
-            f"(row-group packing)")
     tile = tile_t or default_tile(n)
-    tile = max(pgroup, tile - tile % pgroup)
-    while tile > pgroup and b % tile:
+    while tile > 8 and b % tile:
         tile //= 2
-        tile = max(pgroup, tile - tile % pgroup)
     if b % tile:
         raise ValueError(f"batch rows {b} not divisible by tile {tile}")
     return tile
