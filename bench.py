@@ -5,38 +5,38 @@ Measures the "external" path (fresh HBM input per transform, one fused
 kernel pass: the analogue of FFT_external_benchmark,
 SMFFT_CooleyTukey_C2C/FFT-GPU-32bit.cu:583-664) across the reference's
 size sweep, plus the in-VMEM "multiple" path (NREUSES=100 re-applications,
-:666-752) and a correctness gate vs numpy.fft.
+:666-752), a comparison against XLA's native jnp.fft, and a correctness
+gate vs numpy.fft.
 
 Metric: geometric-mean external-path throughput in GB/s (in+out traffic)
 across N = 32..4096 C2C fp32.  vs_baseline compares against the
-reference's published V100 external throughput (8 GB moved in ~10.45 ms
+reference's published V100 external throughput (8 GB in ~10.45 ms
 = 822 GB/s, README.md:84-91 / BASELINE.md) — the number a user switching
-from the reference would compare.
+from the reference would compare.  This chip's measured achievable HBM
+bandwidth is ~820-880 GB/s (scale-op), so vs_baseline ~= roofline
+fraction here.
 
-Timing discipline (axon tunnel: block_until_ready unreliable, dispatch RTT
-~ms, host<->device complex transfers unsupported): data is generated
-on-device, k dispatches are chained through a device-side scalar derived
-from the previous output (defeats dispatch dedup, forces serial
-execution), timing differences two chain lengths to cancel fixed overhead,
-and completion is forced by a scalar readback.  Details per size are
-written to BENCH_DETAILS.json (stderr logs progress; stdout carries only
-the JSON line).
+Timing discipline (axon tunnel: ~25 ms fixed dispatch+readback overhead,
+unreliable block_until_ready, no host<->device complex transfers):
+single-dispatch differencing — time one kernel call on a small and a big
+on-device-generated working set (medians of 7) and divide the time delta
+by the traffic delta.  See .claude/skills/verify for why chained methods
+fail here.  Details land in BENCH_DETAILS.json; stderr logs progress;
+stdout carries only the JSON line.
 """
 
 from __future__ import annotations
 
 import json
-import math
 import sys
 import time
 
 import numpy as np
 
 SIZES = (32, 64, 128, 256, 512, 1024, 2048, 4096)
-PLANE_MB = 128          # per-plane working set (conservative: the remote
-                        # compiler 500s intermittently on multi-GB shapes)
-MULT_ITERS = 100        # NREUSES (FFT-GPU-32bit.cu:10)
-BASELINE_EXTERNAL_GBS = 822.0   # V100 reference, BASELINE.md
+SMALL_MB, BIG_MB = 16, 2048        # per-plane working sets
+MULT_ITERS = 100                   # NREUSES (FFT-GPU-32bit.cu:10)
+BASELINE_EXTERNAL_GBS = 822.0      # V100 reference, BASELINE.md
 
 
 def log(*a):
@@ -48,7 +48,6 @@ def main():
     import jax.numpy as jnp
     from smfft_tpu.ops import pallas_c2c as PC
 
-    on_tpu = jax.default_backend() == "tpu"
     log(f"bench device: {jax.devices()[0].device_kind} "
         f"({jax.default_backend()})")
 
@@ -57,74 +56,84 @@ def main():
             jax.random.PRNGKey(seed), (rows, cols), jnp.float32,
             -0.5, 0.5))()
 
-    dep = jax.jit(lambda a: a[0, 0] * np.float32(1e-30) + np.float32(1.0))
-    force = jax.jit(lambda a: jnp.sum(jnp.abs(a[:1, :8])))
+    force = jax.jit(lambda a: jnp.sum(jnp.abs(jnp.real(a[:1, :8]))))
 
-    def run_chain(f, k):
-        s = jnp.float32(1.0)
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(k):
-            o = f(s)
-            s = dep(o[0])
-        _ = float(force(o[0]))
-        return time.perf_counter() - t0
+    def t_once(f):
+        """Median wall time of one dispatch incl. forced completion."""
+        f()
+        float(force(f()[0]))
+        vals = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            float(force(f()[0]))
+            vals.append(time.perf_counter() - t0)
+        vals.sort()
+        return vals[3]
 
-    def timed(f):
-        _ = run_chain(f, 1)      # compile + warm
-        _ = run_chain(f, 2)
-        samples = []
-        for _ in range(3):
-            t2 = run_chain(f, 2)
-            t6 = run_chain(f, 6)
-            samples.append((t6 - t2) / 4)
-        samples.sort()
-        return samples[1]
+    def diff_time(make_f, ncols):
+        """(traffic_bytes, seconds) via small/big differencing."""
+        ts = []
+        for mb in (SMALL_MB, BIG_MB):
+            rows = (mb * 2 ** 20) // (ncols * 4)
+            rows = 1 << (rows.bit_length() - 1)
+            f = make_f(rows)
+            ts.append((rows, t_once(f)))
+        (r0, t0), (r1, t1) = ts
+        return (r1 - r0) * ncols, t1 - t0, r1
 
-    details = {"sizes": {}, "device": str(jax.devices()[0])}
+    details = {"sizes": {}, "device": str(jax.devices()[0]),
+               "method": "single-dispatch small/big differencing"}
     ext_gbs = []
     for n in SIZES:
         ncols = max(n, 128)
-        rows = (PLANE_MB * 2 ** 20) // (ncols * 4)
-        rows = 1 << (rows.bit_length() - 1)
-        traffic = rows * ncols * 16          # re+im, read+write
-        nffts = rows * ncols // n
         entry = {}
         try:
-            vr = devdata(rows, ncols, 2 * n)
-            vi = devdata(rows, ncols, 2 * n + 1)
-            per = timed(lambda s: PC.fft_planar(vr, vi, n, scale=s))
-            entry["external_ms"] = per * 1e3
-            entry["external_gbs"] = traffic / per / 1e9
-            entry["external_mffts"] = nffts / per / 1e6
-            ext_gbs.append(entry["external_gbs"])
-            log(f"n={n:5d} external: {per*1e3:8.3f} ms  "
-                f"{entry['external_gbs']:6.1f} GB/s")
-            per_h = timed(lambda s: PC.fft_planar(
-                vr, vi, n, scale=s, precision="high"))
-            entry["external_high_gbs"] = traffic / per_h / 1e9
-            log(f"n={n:5d} external(high): {per_h*1e3:8.3f} ms  "
-                f"{entry['external_high_gbs']:6.1f} GB/s")
-            # multiple path: same rows, MULT_ITERS in-VMEM re-applications,
-            # 1/MULT_ITERS of the data (reference grid=nFFTs/100 contract)
-            rows_m = max(8, rows // MULT_ITERS)
-            rows_m = 1 << (rows_m.bit_length() - 1)  # keep tiles large
-            vr_m = devdata(rows_m, ncols, 4 * n)
-            vi_m = devdata(rows_m, ncols, 4 * n + 1)
-            per_m = timed(lambda s: PC.fft_planar(
-                vr_m, vi_m, n, scale=s, multiple_iters=MULT_ITERS))
-            ffts_m = rows_m * ncols // n * MULT_ITERS
-            entry["multiple_ms"] = per_m * 1e3
-            entry["multiple_mffts"] = ffts_m / per_m / 1e6
-            log(f"n={n:5d} multiple: {per_m*1e3:8.3f} ms  "
-                f"{entry['multiple_mffts']:8.2f} MFFT/s "
+            def mk(rows, mult=0):
+                vr = devdata(rows, ncols, 2 * n)
+                vi = devdata(rows, ncols, 2 * n + 1)
+                s = jnp.float32(1.0)
+                return lambda: PC.fft_planar(vr, vi, n, scale=s,
+                                             multiple_iters=mult)
+            pts, dt, rows_big = diff_time(mk, ncols)
+            gbs = pts * 16 / dt / 1e9
+            entry["external_gbs"] = gbs
+            entry["external_mffts"] = pts / n / dt / 1e6
+            ext_gbs.append(gbs)
+            log(f"n={n:5d} external: {gbs:6.1f} GB/s  "
+                f"{entry['external_mffts']:8.1f} MFFT/s")
+            # multiple: in-VMEM re-application (reference NREUSES contract)
+            # measured by differencing two iteration counts on the same
+            # fixed working set — the time delta is pure in-VMEM compute.
+            rows_f = (32 * 2 ** 20) // (ncols * 4)
+            rows_f = 1 << (rows_f.bit_length() - 1)
+            it_lo, it_hi = 20, MULT_ITERS + 20
+            t_lo = t_once(mk(rows_f, it_lo))
+            t_hi = t_once(mk(rows_f, it_hi))
+            ffts = rows_f * ncols // n * (it_hi - it_lo)
+            entry["multiple_mffts"] = ffts / (t_hi - t_lo) / 1e6
+            log(f"n={n:5d} multiple: {entry['multiple_mffts']:8.1f} MFFT/s "
                 f"({MULT_ITERS}x in-VMEM)")
-        except Exception as e:  # noqa: BLE001 — record and continue
+        except Exception as e:  # noqa: BLE001
             entry["error"] = str(e)[:200]
             log(f"n={n:5d} FAILED: {str(e)[:120]}")
         details["sizes"][str(n)] = entry
 
-    # correctness gate (small batch; pulls via planar transfer)
+    # XLA-native jnp.fft comparison at N=1024 (same method)
+    try:
+        def mk_jnp(rows):
+            vr = devdata(rows, 1024, 7)
+            vi = devdata(rows, 1024, 8)
+            f = jax.jit(lambda a, b: jnp.real(
+                jnp.fft.fft(jax.lax.complex(a, b))))
+            return lambda: (f(vr, vi),)
+        pts, dt, _ = diff_time(mk_jnp, 1024)
+        details["jnp_fft_n1024_gbs"] = pts * 16 / dt / 1e9
+        log(f"jnp.fft n=1024: {details['jnp_fft_n1024_gbs']:6.1f} GB/s")
+    except Exception as e:  # noqa: BLE001
+        details["jnp_fft_n1024_gbs"] = None
+        log(f"jnp.fft comparison FAILED: {str(e)[:120]}")
+
+    # correctness gate
     rng = np.random.default_rng(0)
     n = 1024
     x = (rng.random((512, n)) + 1j * rng.random((512, n)) - 0.5 - 0.5j

@@ -103,6 +103,10 @@ def rfft(x: jnp.ndarray, backend: Backend = "auto",
         return real_model.rfft_spec(x)
     if backend == "pallas":
         from smfft_tpu.ops import pallas_real
+        if n >= 256:
+            # fully-fused single-pass kernel
+            return pallas_real.rfft_pallas_fused(x, precision=precision,
+                                                 packed=False)
         return pallas_real.rfft_pallas(x, precision=precision, packed=False)
     z = real_model.pack_real(x)
     zf = matmul_fft.fft_matmul(z, precision=precision)
@@ -121,6 +125,9 @@ def fft_packed_real(x: jnp.ndarray, backend: Backend = "auto",
         return real_model.rfft_spec(x, packed=True)
     if backend == "pallas":
         from smfft_tpu.ops import pallas_real
+        if n >= 256:
+            return pallas_real.rfft_pallas_fused(x, precision=precision,
+                                                 packed=True)
         return pallas_real.rfft_pallas(x, precision=precision, packed=True)
     z = real_model.pack_real(x)
     zf = matmul_fft.fft_matmul(z, precision=precision)

@@ -110,18 +110,33 @@ def _tables(n: int, inverse: bool):
     return tuple(map(f32, (f_re, f_im, t_re, t_im, g_re, g_im)))
 
 
-def const_arrays(n: int, inverse: bool):
+def _np_split_bf16(m):
+    """numpy fp32 -> (hi, lo) bf16 pair with m ~= hi + lo."""
+    import jax.numpy as _jnp
+    hi = np.asarray(_jnp.asarray(m).astype(_jnp.bfloat16))
+    lo = np.asarray((_jnp.asarray(m)
+                     - _jnp.asarray(hi).astype(_jnp.float32)
+                     ).astype(_jnp.bfloat16))
+    return hi, lo
+
+
+def const_arrays(n: int, inverse: bool, precision: str = "highest"):
     """Constant tables (numpy, so they stay trace-time constants and are
     safe to close over in cached builders): the (C, 128) main twiddle and
     the lane DFT matrices (with g_sum = g_re + g_im precomputed for the
     3-mult complex matmul).  Plane-DFT twiddles are python scalars baked
-    into the kernel body."""
+    into the kernel body.  For precision="high" the lane matrices are
+    additionally passed as pre-split bf16 (hi, lo) pairs."""
     _, _, t_re, t_im, g_re, g_im = _tables(n, inverse)
-    return (t_re, t_im, g_re, g_im, g_re + g_im)
+    base = [t_re, t_im, g_re, g_im, g_re + g_im]
+    if precision == "high":
+        for m in (g_re, g_im, g_re + g_im):
+            base.extend(_np_split_bf16(m))
+    return tuple(base)
 
 
-def n_consts(n: int) -> int:
-    return 5
+def n_consts(n: int, precision: str = "highest") -> int:
+    return 11 if precision == "high" else 5
 
 
 def read_consts(refs):
@@ -142,40 +157,45 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _dot_any(x, w, dims, precision):
-    """Real dot_general at the requested precision.
+def _dot_x3(x, w_pair, dims):
+    """3-pass bf16 dot (x_hi*w_hi + x_hi*w_lo + x_lo*w_hi, fp32 accum)
+    with the constant side pre-split — the manual lax.Precision.HIGH
+    (Mosaic rejects the enum) at ~2x the throughput of "highest"."""
+    wh, wl = w_pair
+    xh, xl = _split_bf16(x)
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=dims,
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
+    return dot(xh, wh) + (dot(xh, wl) + dot(xl, wh))
 
-    "high" is the 3-pass bf16 scheme (x_hi*w_hi + x_hi*w_lo + x_lo*w_hi,
-    fp32 accumulation) implemented manually — Mosaic rejects
-    lax.Precision.HIGH — at ~2x the throughput of "highest" (6-pass) for
-    ~2^-16 relative error instead of fp32-exact."""
-    if precision == "high":
-        xh, xl = _split_bf16(x)
-        wh, wl = _split_bf16(w)
-        dot = lambda a, b: jax.lax.dot_general(
-            a, b, dimension_numbers=dims,
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32)
-        return dot(xh, wh) + (dot(xh, wl) + dot(xl, wh))
-    return jax.lax.dot_general(
+
+def _cdot(ar, ai, br, bi, bs, dims, precision, split_consts=None):
+    """3-mult complex dot_general of planar (ar, ai) with planar constant
+    (br, bi); bs = br + bi.  For precision="high", split_consts carries
+    the pre-split bf16 (hi, lo) pairs of (br, bi, bs)."""
+    if precision == "high" and split_consts is not None:
+        t1 = _dot_x3(ar, split_consts[0], dims)
+        t2 = _dot_x3(ai, split_consts[1], dims)
+        t3 = _dot_x3(ar + ai, split_consts[2], dims)
+        return t1 - t2, t3 - t1 - t2
+    dot = lambda x, w: jax.lax.dot_general(
         x, w, dimension_numbers=dims, precision=_PREC[precision],
         preferred_element_type=jnp.float32)
-
-
-def _cdot(ar, ai, br, bi, bs, dims, precision):
-    """3-mult complex dot_general of planar (ar, ai) with planar constant
-    (br, bi); bs = br + bi."""
-    t1 = _dot_any(ar, br, dims, precision)
-    t2 = _dot_any(ai, bi, dims, precision)
-    t3 = _dot_any(ar + ai, bs, dims, precision)
+    t1 = dot(ar, br)
+    t2 = dot(ai, bi)
+    t3 = dot(ar + ai, bs)
     return t1 - t2, t3 - t1 - t2
 
 
 def _cdot_lhs(br, bi, bs, xr, xi, dims, precision):
     """3-mult complex dot_general with the constant matrix as LHS."""
-    t1 = _dot_any(br, xr, dims, precision)
-    t2 = _dot_any(bi, xi, dims, precision)
-    t3 = _dot_any(bs, xr + xi, dims, precision)
+    dot = lambda w, x: jax.lax.dot_general(
+        w, x, dimension_numbers=dims, precision=_PREC[precision],
+        preferred_element_type=jnp.float32)
+    t1 = dot(br, xr)
+    t2 = dot(bi, xi)
+    t3 = dot(bs, xr + xi)
     return t1 - t2, t3 - t1 - t2
 
 
@@ -278,7 +298,9 @@ def emit_fft(xr, xi, consts, *, n: int, inverse: bool = False,
       (o_re, o_im): (T, C, 128) values; [t, k2, k1] holds X[k1*C + k2]
       (natural order already for N <= 128).
     """
-    t_re, t_im, g_re, g_im, g_sum = consts
+    t_re, t_im, g_re, g_im, g_sum = consts[:5]
+    split_consts = (tuple((consts[5 + 2 * i], consts[6 + 2 * i])
+                          for i in range(3)) if len(consts) > 5 else None)
     tile_t = xr.shape[0]
     c = max(1, n // LANES)
     sign = +1.0 if inverse else -1.0
@@ -310,7 +332,8 @@ def emit_fft(xr, xi, consts, *, n: int, inverse: bool = False,
     else:
         # lane DFT_128: (rows, n1) x G (n1, k1) -> (rows, k1)
         dims2 = (((1,), (0,)), ((), ()))
-        o_re, o_im = _cdot(a_re, a_im, g_re, g_im, g_sum, dims2, precision)
+        o_re, o_im = _cdot(a_re, a_im, g_re, g_im, g_sum, dims2, precision,
+                           split_consts)
     return o_re.reshape(tile_t, c, LANES), o_im.reshape(tile_t, c, LANES)
 
 
@@ -324,7 +347,9 @@ def emit_fft_rev(xr, xi, consts, *, n: int, inverse: bool = False,
     emit_fft's forward — FFT-shift-free convolution pipelines use exactly
     this pair (the reference's fft_reorder=0 use case, README.md:30-33).
     """
-    t_re, t_im, g_re, g_im, g_sum = consts
+    t_re, t_im, g_re, g_im, g_sum = consts[:5]
+    split_consts = (tuple((consts[5 + 2 * i], consts[6 + 2 * i])
+                          for i in range(3)) if len(consts) > 5 else None)
     tile_t = xr.shape[0]
     c = max(1, n // LANES)
     sign = +1.0 if inverse else -1.0
@@ -333,14 +358,16 @@ def emit_fft_rev(xr, xi, consts, *, n: int, inverse: bool = False,
         a_re = xr.reshape(tile_t, LANES)
         a_im = xi.reshape(tile_t, LANES)
         dims2 = (((1,), (0,)), ((), ()))
-        o_re, o_im = _cdot(a_re, a_im, g_re, g_im, g_sum, dims2, precision)
+        o_re, o_im = _cdot(a_re, a_im, g_re, g_im, g_sum, dims2, precision,
+                           split_consts)
         return o_re.reshape(tile_t, 1, LANES), o_im.reshape(tile_t, 1, LANES)
 
     # lane DFT first: contract j1 -> m1:  (T, j2, 128) -> rows (T*j2, 128)
     a_re = xr.reshape(tile_t * c, LANES)
     a_im = xi.reshape(tile_t * c, LANES)
     dims2 = (((1,), (0,)), ((), ()))
-    s_re, s_im = _cdot(a_re, a_im, g_re, g_im, g_sum, dims2, precision)
+    s_re, s_im = _cdot(a_re, a_im, g_re, g_im, g_sum, dims2, precision,
+                       split_consts)
     s_re = s_re.reshape(tile_t, c, LANES)
     s_im = s_im.reshape(tile_t, c, LANES)
     # twiddle w_N^{j2*m1}: same (C, 128) table shape as kernel A's, now
@@ -359,14 +386,18 @@ def emit_fft_rev(xr, xi, consts, *, n: int, inverse: bool = False,
 # ---------------------------------------------------------------------------
 
 
-def default_tile(n: int) -> int:
-    """Batch-tile rows per grid step.
+# Per-size batch tiles, tuned on v5e with 2 GB single-dispatch
+# differencing (see .claude/skills/verify).  Larger tiles amortize
+# per-grid-step overhead until the kernel's VMEM frame OOMs the
+# scoped budget.
+_TUNED_TILES = {32: 4096, 64: 4096, 128: 4096, 256: 2048, 512: 512,
+                1024: 256, 2048: 256, 4096: 128}
 
-    The kernel keeps ~a dozen tile-sized planar buffers live on the Mosaic
-    VMEM stack (the plane ladder adds per-stage copies); empirically
-    tile*c <= 1024 rows (512 KB per plane buffer) compiles within the
-    scoped-VMEM budget on v5e while the lane matmul's M dimension (tile*c)
-    stays MXU-saturating."""
+
+def default_tile(n: int) -> int:
+    """Batch-tile rows per grid step (tuned per size on v5e)."""
+    if n in _TUNED_TILES:
+        return _TUNED_TILES[n]
     c = max(1, n // LANES)
     return int(max(8, min(512, 1024 // c)))
 
@@ -388,7 +419,7 @@ def _build(n: int, inverse: bool, rev_in: bool, precision: str,
     emit = emit_fft_rev if rev_in else emit_fft
     n_extra = 1 if fused_scale else 0
 
-    nc = n_consts(n)
+    nc = n_consts(n, precision)
 
     def kernel(*refs):
         xr_ref, xi_ref = refs[0], refs[1]
@@ -421,7 +452,7 @@ def _build(n: int, inverse: bool, rev_in: bool, precision: str,
     const_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * nc
     scale_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] if fused_scale
                    else [])
-    consts = const_arrays(n, inverse)
+    consts = const_arrays(n, inverse, precision)
 
     @jax.jit
     def run(vr, vi, scale=None):

@@ -86,3 +86,234 @@ def irfft_pallas(spec: jnp.ndarray, n: int, precision: str = "highest",
     zi = PC.fft_pallas(z, inverse=True, ordered=True, precision=precision)
     out = jnp.stack([jnp.real(zi), jnp.imag(zi)], axis=-1)
     return out.reshape(spec.shape[:-1] + (n,))
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused R2C kernel (n >= 256): even/odd deinterleave, half-size C2C
+# core, and the split recombination all in one VMEM pass.
+#
+# The split X[k] = 1/2(1 - iW^k) Z[k] + 1/2(1 + iW^k) conj(Z[(L-k) mod L])
+# needs the lane-reversed spectrum Z[(L-k) mod L]; lane reversal is not a
+# Mosaic primitive, so it is *folded into a second lane matmul* with a
+# column-reversed DFT matrix (the MXU doubles as the permutation network),
+# with the one off-by-one plane (k2=0) fixed by a lane roll.  The P/Q
+# recombination tables are VPU elementwise.  This replaces the reference's
+# post-core H1/H2 loop (SMFFT_Stockham_R2C_C2R/FFT-GPU-32bit-Stockham.cu:
+# 289-340) with matmul-folded algebra.
+# ---------------------------------------------------------------------------
+
+import functools
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from smfft_tpu.ops.pallas_c2c import (
+    LANES, _PREC, _cdot, _plane_dft_list, _cmul_scalar, _tables,
+    _INTERPRET, default_tile)
+from smfft_tpu.ops import pallas_c2c as _pc
+
+
+def _rfft_tables(n: int):
+    """Constant tables for the fused r2c kernel of real length n."""
+    L = n // 2
+    c = L // LANES
+    # half-size c2c tables (forward): twiddle (c,128) and G (128,128)
+    _, _, t_re, t_im, g_re, g_im = _tables(L, inverse=False)
+    # column-reversed G: Grev[n1, k1] = G[n1, 127 - k1]
+    gr_re = g_re[:, ::-1].copy()
+    gr_im = g_im[:, ::-1].copy()
+    # P/Q recombination tables in revblock layout: index [k2, k1],
+    # k = k1*c + k2, P = (1 - i W^k)/2, Q = (1 + i W^k)/2, W = e^{-2pi i/n}
+    k1 = np.arange(LANES, dtype=np.float64)[None, :]
+    k2 = np.arange(max(c, 1), dtype=np.float64)[:, None]
+    k = k1 * max(c, 1) + k2
+    w_re = np.cos(-2.0 * np.pi * k / n)
+    w_im = np.sin(-2.0 * np.pi * k / n)
+    # iW = i(w_re + i w_im) = -w_im + i w_re
+    p_re, p_im = (1.0 + w_im) * 0.5, -0.5 * w_re
+    q_re, q_im = (1.0 - w_im) * 0.5, +0.5 * w_re
+    f32 = lambda m: np.ascontiguousarray(m, np.float32)
+    return tuple(map(f32, (t_re, t_im, g_re, g_im, g_re + g_im,
+                           gr_re, gr_im, gr_re + gr_im,
+                           p_re, p_im, q_re, q_im)))
+
+
+def _deinterleave(x, rows):
+    """(rows, 256) fp32 -> even lanes (rows, 128), odd lanes (rows, 128).
+
+    Within-tile gathers only (cross-vreg gathers are unsupported): each
+    128-lane tile is gathered at stride 2, then the two half-results are
+    merged with a lane roll + select."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    idx_e = 2 * (lane % 64)
+    idx_o = idx_e + 1
+    t0, t1 = x[:, :LANES], x[:, LANES:]
+    lo = lane < 64
+
+    def merge(idx):
+        g0 = jnp.take_along_axis(t0, idx, axis=-1)
+        g1 = jnp.take_along_axis(t1, idx, axis=-1)
+        return jnp.where(lo, g0, pltpu.roll(g1, 64, axis=1))
+
+    return merge(idx_e), merge(idx_o)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_rfft(n: int, tile_t: int, precision: str):
+    """Fused R2C kernel: real (rows, n) -> packed revblock spectrum.
+
+    Output layout: (rows*c, 128) planar pair holding the packed spectrum
+    X[k] (k = k1*c + k2 at [row k2-plane, lane k1]), slot k=0 carrying
+    (DC, Nyquist) as (re, im) (reference layout,
+    FFT-GPU-32bit-Stockham.cu:332-340).
+    """
+    L = n // 2
+    c = L // LANES
+    assert c >= 1
+    consts = _rfft_tables(n)
+    n_c = len(consts)
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        (t_re, t_im, g_re, g_im, g_sum, gr_re, gr_im, gr_sum,
+         p_re, p_im, q_re, q_im) = tuple(r[:] for r in refs[1:1 + n_c])
+        or_ref, oi_ref = refs[1 + n_c], refs[2 + n_c]
+
+        x = x_ref[:]                                  # (tile*c, 256)
+        z_re, z_im = _deinterleave(x, tile_t * c)     # (tile*c, 128)
+        z_re = z_re.reshape(tile_t, c, LANES)
+        z_im = z_im.reshape(tile_t, c, LANES)
+
+        # half-size C2C core, plane-list form
+        pre = [z_re[:, j, :] for j in range(c)]
+        pim = [z_im[:, j, :] for j in range(c)]
+        s_r, s_i = _plane_dft_list(pre, pim, -1.0)
+        # twiddle per plane (w_L^{k2*n1}); trivial when c == 1 (the table
+        # is a zero placeholder in that case)
+        if c > 1:
+            for k2 in range(c):
+                tr, ti = t_re[k2, :], t_im[k2, :]
+                s_r[k2], s_i[k2] = (s_r[k2] * tr - s_i[k2] * ti,
+                                    s_r[k2] * ti + s_i[k2] * tr)
+        if c > 1:
+            norm_r = jnp.concatenate([p[:, None, :] for p in s_r], axis=1)
+            norm_i = jnp.concatenate([p[:, None, :] for p in s_i], axis=1)
+            mirr_r = jnp.concatenate(
+                [s_r[(c - k2) % c][:, None, :] for k2 in range(c)], axis=1)
+            mirr_i = jnp.concatenate(
+                [s_i[(c - k2) % c][:, None, :] for k2 in range(c)], axis=1)
+        else:
+            norm_r = s_r[0][:, None, :]
+            norm_i = s_i[0][:, None, :]
+            mirr_r, mirr_i = norm_r, norm_i
+
+        dims = (((1,), (0,)), ((), ()))
+        zf_r, zf_i = _cdot(norm_r.reshape(tile_t * c, LANES),
+                           norm_i.reshape(tile_t * c, LANES),
+                           g_re, g_im, g_sum, dims, precision)
+        rv_r, rv_i = _cdot(mirr_r.reshape(tile_t * c, LANES),
+                           mirr_i.reshape(tile_t * c, LANES),
+                           gr_re, gr_im, gr_sum, dims, precision)
+        zf_r = zf_r.reshape(tile_t, c, LANES)
+        zf_i = zf_i.reshape(tile_t, c, LANES)
+        rv_r = rv_r.reshape(tile_t, c, LANES)
+        rv_i = rv_i.reshape(tile_t, c, LANES)
+        # plane k2=0 of the mirror needs Z[(128-k1)%128] = roll(rev, 1)
+        fix_r = pltpu.roll(rv_r[:, 0, :], 1, axis=1)
+        fix_i = pltpu.roll(rv_i[:, 0, :], 1, axis=1)
+        if c > 1:
+            rv_r = jnp.concatenate(
+                [fix_r[:, None, :], rv_r[:, 1:, :]], axis=1)
+            rv_i = jnp.concatenate(
+                [fix_i[:, None, :], rv_i[:, 1:, :]], axis=1)
+        else:
+            rv_r = fix_r[:, None, :]
+            rv_i = fix_i[:, None, :]
+
+        # X = P*Z + Q*conj(Zm)   (P/Q tables (c, 128) -> (1, c, 128))
+        pr, pi = p_re[None], p_im[None]
+        qr, qi = q_re[None], q_im[None]
+        x_r = (zf_r * pr - zf_i * pi) + (rv_r * qr + rv_i * qi)
+        x_i = (zf_r * pi + zf_i * pr) + (-rv_i * qr + rv_r * qi)
+
+        # slot k=0 (plane 0, lane 0): pack (DC, Nyquist) =
+        # (ReZ0 + ImZ0, ReZ0 - ImZ0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile_t, c, LANES), 2)
+        plane = jax.lax.broadcasted_iota(jnp.int32, (tile_t, c, LANES), 1)
+        at0 = (lane == 0) & (plane == 0)
+        # at slot 0, Z[0] sits at [t, 0, 0], so the full-array expressions
+        # zf_r +- zf_i equal DC/Nyquist exactly where the mask selects them
+        # (full-shape operands — Mosaic rejects (T,1,1) mask broadcasts)
+        x_r = jnp.where(at0, zf_r + zf_i, x_r)
+        x_i = jnp.where(at0, zf_r - zf_i, x_i)
+
+        or_ref[:] = x_r.reshape(tile_t * c, LANES)
+        oi_ref[:] = x_i.reshape(tile_t * c, LANES)
+
+    in_spec = pl.BlockSpec((tile_t * c, 2 * LANES), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_t * c, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_c
+
+    @jax.jit
+    def run(x):
+        b = x.shape[0]
+        grid = b // tile_t
+        compiler_params = None
+        if not _pc._INTERPRET:
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel",))
+        o_r, o_i = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[in_spec] + const_specs,
+            out_specs=(out_spec, out_spec),
+            out_shape=(jax.ShapeDtypeStruct((b * c, LANES), jnp.float32),
+                       jax.ShapeDtypeStruct((b * c, LANES), jnp.float32)),
+            compiler_params=compiler_params,
+            interpret=_pc._INTERPRET,
+        )(x.reshape(b * c, 2 * LANES), *consts)
+        return o_r.reshape(b, L), o_i.reshape(b, L)
+
+    return run
+
+
+def rfft_fused_planar(x: jnp.ndarray, precision: str = "highest",
+                      tile_t: int | None = None):
+    """Fused single-pass R2C: real (B, n) fp32 -> packed revblock spectrum
+    as planar (B, n/2) pair.  Requires n >= 256."""
+    n = x.shape[-1]
+    if n < 256 or n not in P.SUPPORTED_REAL_SIZES:
+        raise ValueError(f"rfft_fused requires real n in "
+                         f"{[s for s in P.SUPPORTED_REAL_SIZES if s >= 256]}")
+    b = x.shape[0]
+    tile = tile_t or max(8, default_tile(n // 2))
+    while tile > 8 and b % tile:
+        tile //= 2
+    if b % tile:
+        raise ValueError(f"batch {b} not divisible by tile {tile}")
+    run = _build_rfft(n, tile, precision)
+    return run(x.astype(jnp.float32))
+
+
+def rfft_pallas_fused(x: jnp.ndarray, precision: str = "highest",
+                      packed: bool = False) -> jnp.ndarray:
+    """Fused R2C with natural-order output (XLA transpose epilogue over
+    the packed revblock layout); numpy (..., n/2+1) or packed (..., n/2)."""
+    n = x.shape[-1]
+    batch_shape = x.shape[:-1]
+    xb = x.reshape((-1, n))
+    o_r, o_i = rfft_fused_planar(xb, precision=precision)
+    L = n // 2
+    c = L // LANES
+    if c > 1:
+        o_r = o_r.reshape(-1, c, LANES).swapaxes(-1, -2).reshape(-1, L)
+        o_i = o_i.reshape(-1, c, LANES).swapaxes(-1, -2).reshape(-1, L)
+    spec = jax.lax.complex(o_r, o_i).reshape(batch_shape + (L,))
+    if packed:
+        return spec
+    dc = jnp.real(spec[..., :1]) + 0j
+    nyq = jnp.imag(spec[..., :1]) + 0j
+    return jnp.concatenate([dc, spec[..., 1:], nyq], axis=-1)

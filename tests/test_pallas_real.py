@@ -65,3 +65,28 @@ def test_irfft_from_numpy_spectrum(rng):
 def test_wrong_real_length():
     with pytest.raises(ValueError, match="wrong FFT length"):
         PR.rfft_pallas(jnp.zeros((4, 48), jnp.float32))
+
+
+@pytest.mark.parametrize("n", [256, 512, 1024, 4096, 8192])
+def test_rfft_fused_numpy_layout(rng, n):
+    """The fully-fused single-pass R2C kernel (deinterleave + half-size
+    core + matmul-folded split) vs numpy."""
+    x = (rng.random((64, n)) - 0.5).astype(np.float32)
+    got = np.asarray(PR.rfft_pallas_fused(jnp.array(x)))
+    assert got.shape == (64, n // 2 + 1)
+    assert max_abs_err(got, np.fft.rfft(x.astype(np.float64))) < tol(n)
+
+
+def test_rfft_fused_packed(rng):
+    n = 1024
+    x = (rng.random((64, n)) - 0.5).astype(np.float32)
+    got = np.asarray(PR.rfft_pallas_fused(jnp.array(x), packed=True))
+    ref = np.fft.rfft(x.astype(np.float64))
+    assert max_abs_err(got[..., 0].real, ref[..., 0].real) < tol(n)
+    assert max_abs_err(got[..., 0].imag, ref[..., n // 2].real) < tol(n)
+    assert max_abs_err(got[..., 1:], ref[..., 1:n // 2]) < tol(n)
+
+
+def test_rfft_fused_small_sizes_rejected():
+    with pytest.raises(ValueError, match="rfft_fused requires"):
+        PR.rfft_fused_planar(jnp.zeros((8, 128), jnp.float32))
