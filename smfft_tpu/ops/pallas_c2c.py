@@ -285,18 +285,29 @@ def _plane_dft(xr, xi, c: int, sign: float):
             jnp.concatenate([p[:, None, :] for p in outi], axis=1))
 
 
+def _chunks(x, c):
+    """Static lane-chunk list view of a (T, c*128) value — tile-granular
+    slices, zero relayout (Mosaic supports neither lane-splitting reshapes
+    nor cheap rank-3 views of wide rows)."""
+    return [x[:, j * LANES:(j + 1) * LANES] for j in range(c)]
+
+
+def _cat_lanes(chunks):
+    return jnp.concatenate(chunks, axis=-1) if len(chunks) > 1 else chunks[0]
+
+
 def emit_fft(xr, xi, consts, *, n: int, inverse: bool = False,
              precision: str = "highest"):
     """Kernel A: natural-layout input tile -> revblock-layout FFT.
 
     Args:
-      xr, xi: (T, C, 128) fp32 planar values; [t, n2, n1] holds x[n1+128*n2]
-        (the natural (T, N) row viewed with lanes minor — free reshape).
-        For N < 128, (T, 1, 128) rows each pack 128/N transforms.
+      xr, xi: (T, n_row) fp32 planar values, n_row = max(n, 128) — the
+        natural row layout; lane-chunk j holds x[j*128 : (j+1)*128].
+        For N < 128, rows pack 128/N transforms.
       consts: from read_consts / const_arrays (direction baked into tables).
     Returns:
-      (o_re, o_im): (T, C, 128) values; [t, k2, k1] holds X[k1*C + k2]
-      (natural order already for N <= 128).
+      (o_re, o_im): (T, n_row) values; lane-chunk k2 holds X[k1*C + k2]
+      at lane k1 ("revblock"; natural order already for N <= 128).
     """
     t_re, t_im, g_re, g_im, g_sum = consts[:5]
     split_consts = (tuple((consts[5 + 2 * i], consts[6 + 2 * i])
@@ -304,45 +315,47 @@ def emit_fft(xr, xi, consts, *, n: int, inverse: bool = False,
     tile_t = xr.shape[0]
     c = max(1, n // LANES)
     sign = +1.0 if inverse else -1.0
+    dims2 = (((1,), (0,)), ((), ()))
 
     if _ABLATE == "copy_only":
         return xr, xi
-    if c > 1:
-        # plane-axis DFT_C over n2 -> k2 (VPU recursive DIT, stays
-        # (T, C, 128) with k2 in plane position — no transposes anywhere)
-        if _ABLATE == "no_plane":
-            s_re, s_im = xr, xi
-        else:
-            s_re, s_im = _plane_dft(xr, xi, c, sign)
-        if _ABLATE == "no_twiddle":
-            p_re, p_im = s_re, s_im
-        else:
-            # twiddle w_N^{k2*n1}: tables (C, 128) -> broadcast (1, C, 128)
-            w_re, w_im = t_re[None, :, :], t_im[None, :, :]
-            p_re = s_re * w_re - s_im * w_im
-            p_im = s_re * w_im + s_im * w_re
-        a_re = p_re.reshape(tile_t * c, LANES)
-        a_im = p_im.reshape(tile_t * c, LANES)
-    else:
-        a_re = xr.reshape(tile_t, LANES)
-        a_im = xi.reshape(tile_t, LANES)
+    if c == 1:
+        o_re, o_im = _cdot(xr, xi, g_re, g_im, g_sum, dims2, precision,
+                           split_consts)
+        return o_re, o_im
 
+    # sublane DFT_C over the lane-chunk axis n2 -> k2 (VPU recursive DIT
+    # on chunk lists — leading-dim ops only, no transposes anywhere)
+    pre, pim = _chunks(xr, c), _chunks(xi, c)
+    if _ABLATE != "no_plane":
+        pre, pim = _plane_dft_list(pre, pim, sign)
+    if _ABLATE != "no_twiddle":
+        # twiddle w_N^{k2*n1}: rows of the (C, 128) table per chunk
+        for k2 in range(c):
+            tr, ti = t_re[k2, :], t_im[k2, :]
+            pre[k2], pim[k2] = (pre[k2] * tr - pim[k2] * ti,
+                                pre[k2] * ti + pim[k2] * tr)
+    # fold chunks into rows (k2-major) for one full-width lane matmul
+    a_re = jnp.concatenate(pre, axis=0)
+    a_im = jnp.concatenate(pim, axis=0)
     if _ABLATE == "no_matmul":
         o_re, o_im = a_re, a_im
     else:
-        # lane DFT_128: (rows, n1) x G (n1, k1) -> (rows, k1)
-        dims2 = (((1,), (0,)), ((), ()))
+        # lane DFT_128: (c*T, n1) x G (n1, k1) -> (c*T, k1)
         o_re, o_im = _cdot(a_re, a_im, g_re, g_im, g_sum, dims2, precision,
                            split_consts)
-    return o_re.reshape(tile_t, c, LANES), o_im.reshape(tile_t, c, LANES)
+    # rows back to lane chunks: chunk k2 = rows [k2*T, (k2+1)*T)
+    out_r = [o_re[k2 * tile_t:(k2 + 1) * tile_t, :] for k2 in range(c)]
+    out_i = [o_im[k2 * tile_t:(k2 + 1) * tile_t, :] for k2 in range(c)]
+    return _cat_lanes(out_r), _cat_lanes(out_i)
 
 
 def emit_fft_rev(xr, xi, consts, *, n: int, inverse: bool = False,
                  precision: str = "highest"):
     """Kernel B: revblock-layout input tile -> natural-layout FFT (mirror).
 
-    Consumes the layout emit_fft produces: [t, j2, j1] holds z[j1*C + j2].
-    Returns (T, C, 128) values in natural layout: [t, m2, m1] = Z[m1+128*m2].
+    Consumes the layout emit_fft produces: lane-chunk j2 holds
+    z[j1*C + j2] at lane j1.  Returns (T, n_row) values in natural layout.
     With inverse-direction consts this is the relayout-free inverse of
     emit_fft's forward — FFT-shift-free convolution pipelines use exactly
     this pair (the reference's fft_reorder=0 use case, README.md:30-33).
@@ -353,31 +366,27 @@ def emit_fft_rev(xr, xi, consts, *, n: int, inverse: bool = False,
     tile_t = xr.shape[0]
     c = max(1, n // LANES)
     sign = +1.0 if inverse else -1.0
+    dims2 = (((1,), (0,)), ((), ()))
 
     if c == 1:
-        a_re = xr.reshape(tile_t, LANES)
-        a_im = xi.reshape(tile_t, LANES)
-        dims2 = (((1,), (0,)), ((), ()))
-        o_re, o_im = _cdot(a_re, a_im, g_re, g_im, g_sum, dims2, precision,
-                           split_consts)
-        return o_re.reshape(tile_t, 1, LANES), o_im.reshape(tile_t, 1, LANES)
+        return _cdot(xr, xi, g_re, g_im, g_sum, dims2, precision,
+                     split_consts)
 
-    # lane DFT first: contract j1 -> m1:  (T, j2, 128) -> rows (T*j2, 128)
-    a_re = xr.reshape(tile_t * c, LANES)
-    a_im = xi.reshape(tile_t * c, LANES)
-    dims2 = (((1,), (0,)), ((), ()))
+    # lane DFT first: contract j1 -> m1 on all chunks folded into rows
+    a_re = jnp.concatenate(_chunks(xr, c), axis=0)
+    a_im = jnp.concatenate(_chunks(xi, c), axis=0)
     s_re, s_im = _cdot(a_re, a_im, g_re, g_im, g_sum, dims2, precision,
                        split_consts)
-    s_re = s_re.reshape(tile_t, c, LANES)
-    s_im = s_im.reshape(tile_t, c, LANES)
-    # twiddle w_N^{j2*m1}: same (C, 128) table shape as kernel A's, now
-    # indexed [j2, m1], broadcast over T -> (1, C, 128)
-    w_re, w_im = t_re[None, :, :], t_im[None, :, :]
-    p_re = s_re * w_re - s_im * w_im
-    p_im = s_re * w_im + s_im * w_re
-    # plane-axis DFT_C over j2 -> m2 (VPU recursive DIT, no transposes)
-    o_re, o_im = _plane_dft(p_re, p_im, c, sign)
-    return o_re, o_im
+    pre = [s_re[j * tile_t:(j + 1) * tile_t, :] for j in range(c)]
+    pim = [s_im[j * tile_t:(j + 1) * tile_t, :] for j in range(c)]
+    # twiddle w_N^{j2*m1} per chunk
+    for j2 in range(c):
+        tr, ti = t_re[j2, :], t_im[j2, :]
+        pre[j2], pim[j2] = (pre[j2] * tr - pim[j2] * ti,
+                            pre[j2] * ti + pim[j2] * tr)
+    # sublane DFT_C over j2 -> m2
+    out_r, out_i = _plane_dft_list(pre, pim, sign)
+    return _cat_lanes(out_r), _cat_lanes(out_i)
 
 
 # ---------------------------------------------------------------------------
@@ -390,8 +399,8 @@ def emit_fft_rev(xr, xi, consts, *, n: int, inverse: bool = False,
 # differencing (see .claude/skills/verify).  Larger tiles amortize
 # per-grid-step overhead until the kernel's VMEM frame OOMs the
 # scoped budget.
-_TUNED_TILES = {32: 4096, 64: 4096, 128: 4096, 256: 2048, 512: 512,
-                1024: 256, 2048: 256, 4096: 128}
+_TUNED_TILES = {32: 1024, 64: 4096, 128: 4096, 256: 2048, 512: 256,
+                1024: 256, 2048: 64, 4096: 128}
 
 
 def default_tile(n: int) -> int:
@@ -421,14 +430,18 @@ def _build(n: int, inverse: bool, rev_in: bool, precision: str,
 
     nc = n_consts(n, precision)
 
+    n_row = max(n, LANES)
+
     def kernel(*refs):
         xr_ref, xi_ref = refs[0], refs[1]
         consts = read_consts(refs[2:2 + nc])
         our_ref, oui_ref = refs[2 + nc + n_extra:][:2]
-        # blocks are 2D (tile_t*c, 128) — rank-2 I/O DMAs pipeline ~3x
-        # faster than rank-3 on this hardware; the reshape is free
-        xr = xr_ref[:].reshape(tile_t, c, LANES)
-        xi = xi_ref[:].reshape(tile_t, c, LANES)
+        # blocks keep the caller's natural (tile, n_row) shape — any
+        # rank/row-width change outside the kernel is a layout-changing
+        # XLA reshape (an extra HBM copy pass); inside, lane-chunk slices
+        # are free
+        xr = xr_ref[:]
+        xi = xi_ref[:]
         if fused_scale:
             s = refs[2 + nc][0]
             xr = xr * s
@@ -444,10 +457,10 @@ def _build(n: int, inverse: bool, rev_in: bool, precision: str,
             xr, xi = jax.lax.fori_loop(0, multiple_iters, body, (xr, xi))
         o_r, o_i = emit(xr, xi, consts, n=n, inverse=inverse,
                         precision=precision)
-        our_ref[:] = o_r.reshape(tile_t * c, LANES)
-        oui_ref[:] = o_i.reshape(tile_t * c, LANES)
+        our_ref[:] = o_r
+        oui_ref[:] = o_i
 
-    data_spec = pl.BlockSpec((tile_t * c, LANES),
+    data_spec = pl.BlockSpec((tile_t, n_row),
                              lambda i: (i, 0), memory_space=pltpu.VMEM)
     const_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * nc
     scale_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] if fused_scale
@@ -456,12 +469,12 @@ def _build(n: int, inverse: bool, rev_in: bool, precision: str,
 
     @jax.jit
     def run(vr, vi, scale=None):
-        b, n_row = vr.shape
+        b, _ = vr.shape
         grid = b // tile_t
         nffts = b * n_row // n
         cost = None if _NO_COST else pl.CostEstimate(
             flops=6 * n * (c + LANES) * max(1, multiple_iters) * nffts,
-            bytes_accessed=b * c * LANES * 4 * 4,
+            bytes_accessed=b * n_row * 4 * 4,
             transcendentals=0)
         extra = (scale.reshape(1),) if fused_scale else ()
         compiler_params = None
@@ -472,20 +485,18 @@ def _build(n: int, inverse: bool, rev_in: bool, precision: str,
             compiler_params = pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
                 dimension_semantics=("parallel",))
-        o_r, o_i = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=[data_spec, data_spec] + const_specs + scale_specs,
             out_specs=(data_spec, data_spec),
             out_shape=(
-                jax.ShapeDtypeStruct((b * c, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((b * c, LANES), jnp.float32)),
+                jax.ShapeDtypeStruct((b, n_row), jnp.float32),
+                jax.ShapeDtypeStruct((b, n_row), jnp.float32)),
             cost_estimate=cost,
             compiler_params=compiler_params,
             interpret=_INTERPRET,
-        )(vr.reshape(b * c, LANES), vi.reshape(b * c, LANES),
-          *consts, *extra)
-        return o_r.reshape(b, n_row), o_i.reshape(b, n_row)
+        )(vr, vi, *consts, *extra)
 
     return run
 

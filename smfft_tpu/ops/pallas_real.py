@@ -179,14 +179,16 @@ def _build_rfft(n: int, tile_t: int, precision: str):
          p_re, p_im, q_re, q_im) = tuple(r[:] for r in refs[1:1 + n_c])
         or_ref, oi_ref = refs[1 + n_c], refs[2 + n_c]
 
-        x = x_ref[:]                                  # (tile*c, 256)
-        z_re, z_im = _deinterleave(x, tile_t * c)     # (tile*c, 128)
-        z_re = z_re.reshape(tile_t, c, LANES)
-        z_im = z_im.reshape(tile_t, c, LANES)
+        x = x_ref[:]                                  # (tile, n) natural
+        # per-256-lane chunk deinterleave -> plane lists (zero reshapes;
+        # any rank/row-width change outside the kernel is an HBM copy)
+        pre, pim = [], []
+        for j in range(c):
+            zr, zi = _deinterleave(x[:, j * 256:(j + 1) * 256], tile_t)
+            pre.append(zr)
+            pim.append(zi)
 
         # half-size C2C core, plane-list form
-        pre = [z_re[:, j, :] for j in range(c)]
-        pim = [z_im[:, j, :] for j in range(c)]
         s_r, s_i = _plane_dft_list(pre, pim, -1.0)
         # twiddle per plane (w_L^{k2*n1}); trivial when c == 1 (the table
         # is a zero placeholder in that case)
@@ -195,64 +197,53 @@ def _build_rfft(n: int, tile_t: int, precision: str):
                 tr, ti = t_re[k2, :], t_im[k2, :]
                 s_r[k2], s_i[k2] = (s_r[k2] * tr - s_i[k2] * ti,
                                     s_r[k2] * ti + s_i[k2] * tr)
-        if c > 1:
-            norm_r = jnp.concatenate([p[:, None, :] for p in s_r], axis=1)
-            norm_i = jnp.concatenate([p[:, None, :] for p in s_i], axis=1)
-            mirr_r = jnp.concatenate(
-                [s_r[(c - k2) % c][:, None, :] for k2 in range(c)], axis=1)
-            mirr_i = jnp.concatenate(
-                [s_i[(c - k2) % c][:, None, :] for k2 in range(c)], axis=1)
-        else:
-            norm_r = s_r[0][:, None, :]
-            norm_i = s_i[0][:, None, :]
-            mirr_r, mirr_i = norm_r, norm_i
+        # normal and mirrored (plane-permuted) chunk stacks, row-folded
+        # for two full-width lane matmuls
+        norm_r = jnp.concatenate(s_r, axis=0)
+        norm_i = jnp.concatenate(s_i, axis=0)
+        mirr_r = jnp.concatenate([s_r[(c - k2) % c] for k2 in range(c)],
+                                 axis=0)
+        mirr_i = jnp.concatenate([s_i[(c - k2) % c] for k2 in range(c)],
+                                 axis=0)
 
         dims = (((1,), (0,)), ((), ()))
-        zf_r, zf_i = _cdot(norm_r.reshape(tile_t * c, LANES),
-                           norm_i.reshape(tile_t * c, LANES),
-                           g_re, g_im, g_sum, dims, precision)
-        rv_r, rv_i = _cdot(mirr_r.reshape(tile_t * c, LANES),
-                           mirr_i.reshape(tile_t * c, LANES),
-                           gr_re, gr_im, gr_sum, dims, precision)
-        zf_r = zf_r.reshape(tile_t, c, LANES)
-        zf_i = zf_i.reshape(tile_t, c, LANES)
-        rv_r = rv_r.reshape(tile_t, c, LANES)
-        rv_i = rv_i.reshape(tile_t, c, LANES)
-        # plane k2=0 of the mirror needs Z[(128-k1)%128] = roll(rev, 1)
-        fix_r = pltpu.roll(rv_r[:, 0, :], 1, axis=1)
-        fix_i = pltpu.roll(rv_i[:, 0, :], 1, axis=1)
-        if c > 1:
-            rv_r = jnp.concatenate(
-                [fix_r[:, None, :], rv_r[:, 1:, :]], axis=1)
-            rv_i = jnp.concatenate(
-                [fix_i[:, None, :], rv_i[:, 1:, :]], axis=1)
-        else:
-            rv_r = fix_r[:, None, :]
-            rv_i = fix_i[:, None, :]
+        zf_r, zf_i = _cdot(norm_r, norm_i, g_re, g_im, g_sum, dims,
+                           precision)
+        rv_r, rv_i = _cdot(mirr_r, mirr_i, gr_re, gr_im, gr_sum, dims,
+                           precision)
+        zf_rc = [zf_r[k * tile_t:(k + 1) * tile_t] for k in range(c)]
+        zf_ic = [zf_i[k * tile_t:(k + 1) * tile_t] for k in range(c)]
+        rv_rc = [rv_r[k * tile_t:(k + 1) * tile_t] for k in range(c)]
+        rv_ic = [rv_i[k * tile_t:(k + 1) * tile_t] for k in range(c)]
+        # chunk k2=0 of the mirror needs Z[(128-k1)%128] = roll(rev, 1)
+        rv_rc[0] = pltpu.roll(rv_rc[0], 1, axis=1)
+        rv_ic[0] = pltpu.roll(rv_ic[0], 1, axis=1)
 
-        # X = P*Z + Q*conj(Zm)   (P/Q tables (c, 128) -> (1, c, 128))
-        pr, pi = p_re[None], p_im[None]
-        qr, qi = q_re[None], q_im[None]
-        x_r = (zf_r * pr - zf_i * pi) + (rv_r * qr + rv_i * qi)
-        x_i = (zf_r * pi + zf_i * pr) + (-rv_i * qr + rv_r * qi)
+        # X = P*Z + Q*conj(Zm), per chunk (P/Q table rows)
+        out_r, out_i = [], []
+        for k2 in range(c):
+            pr, pi = p_re[k2, :], p_im[k2, :]
+            qr, qi = q_re[k2, :], q_im[k2, :]
+            xr_ = (zf_rc[k2] * pr - zf_ic[k2] * pi) \
+                + (rv_rc[k2] * qr + rv_ic[k2] * qi)
+            xi_ = (zf_rc[k2] * pi + zf_ic[k2] * pr) \
+                + (-rv_ic[k2] * qr + rv_rc[k2] * qi)
+            if k2 == 0:
+                # slot k=0 (lane 0 of chunk 0) packs (DC, Nyquist) =
+                # (ReZ0 + ImZ0, ReZ0 - ImZ0); full-shape mask select
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_t, LANES), 1)
+                at0 = lane == 0
+                xr_ = jnp.where(at0, zf_rc[0] + zf_ic[0], xr_)
+                xi_ = jnp.where(at0, zf_rc[0] - zf_ic[0], xi_)
+            out_r.append(xr_)
+            out_i.append(xi_)
+        or_ref[:] = (jnp.concatenate(out_r, axis=-1) if c > 1 else out_r[0])
+        oi_ref[:] = (jnp.concatenate(out_i, axis=-1) if c > 1 else out_i[0])
 
-        # slot k=0 (plane 0, lane 0): pack (DC, Nyquist) =
-        # (ReZ0 + ImZ0, ReZ0 - ImZ0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (tile_t, c, LANES), 2)
-        plane = jax.lax.broadcasted_iota(jnp.int32, (tile_t, c, LANES), 1)
-        at0 = (lane == 0) & (plane == 0)
-        # at slot 0, Z[0] sits at [t, 0, 0], so the full-array expressions
-        # zf_r +- zf_i equal DC/Nyquist exactly where the mask selects them
-        # (full-shape operands — Mosaic rejects (T,1,1) mask broadcasts)
-        x_r = jnp.where(at0, zf_r + zf_i, x_r)
-        x_i = jnp.where(at0, zf_r - zf_i, x_i)
-
-        or_ref[:] = x_r.reshape(tile_t * c, LANES)
-        oi_ref[:] = x_i.reshape(tile_t * c, LANES)
-
-    in_spec = pl.BlockSpec((tile_t * c, 2 * LANES), lambda i: (i, 0),
+    in_spec = pl.BlockSpec((tile_t, n), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((tile_t * c, LANES), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((tile_t, L), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     const_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_c
 
@@ -265,17 +256,16 @@ def _build_rfft(n: int, tile_t: int, precision: str):
             compiler_params = pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
                 dimension_semantics=("parallel",))
-        o_r, o_i = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=[in_spec] + const_specs,
             out_specs=(out_spec, out_spec),
-            out_shape=(jax.ShapeDtypeStruct((b * c, LANES), jnp.float32),
-                       jax.ShapeDtypeStruct((b * c, LANES), jnp.float32)),
+            out_shape=(jax.ShapeDtypeStruct((b, L), jnp.float32),
+                       jax.ShapeDtypeStruct((b, L), jnp.float32)),
             compiler_params=compiler_params,
             interpret=_pc._INTERPRET,
-        )(x.reshape(b * c, 2 * LANES), *consts)
-        return o_r.reshape(b, L), o_i.reshape(b, L)
+        )(x, *consts)
 
     return run
 
