@@ -28,6 +28,7 @@ from typing import Literal
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from smfft_tpu import params as P
 from smfft_tpu.models import cooley_tukey, stockham, real as real_model
@@ -91,6 +92,38 @@ def ifft(x: jnp.ndarray, ordered: bool = True, backend: Backend = "auto",
     return out
 
 
+def ifft_unordered(x: jnp.ndarray, backend: Backend = "auto",
+                   precision: str = "highest",
+                   norm: str | None = "backward") -> jnp.ndarray:
+    """Inverse C2C FFT consuming the revblock layout that
+    ``fft(ordered=False)`` produces, returning natural order in ONE fused
+    pass — the relayout-free convolution-roundtrip pair (the reference's
+    fft_reorder=0 use case, README.md:30-33).  On non-TPU backends this
+    falls back to un-permuting + the XLA engine.
+
+    Each backend consumes the unordered layout its own forward produces
+    (pallas: revblock; xla: factorization digit-reversed; spec:
+    bit-reversed) so fft(ordered=False) |> ifft_unordered round-trips on
+    any backend; only the pallas pair is relayout-free.
+    """
+    n = x.shape[-1]
+    _check_c2c(n)
+    backend = _resolve_backend(backend)
+    if backend == "pallas":
+        from smfft_tpu.ops import pallas_c2c
+        out = pallas_c2c.ifft_pallas_rev(x, precision=precision)
+    elif backend == "spec":
+        perm = cooley_tukey.bit_reverse_indices(n)
+        out = cooley_tukey.fft_dit(x[..., perm], inverse=True)
+    else:
+        perm = matmul_fft.digit_reverse_indices(n, P.get_factorization(n))
+        out = matmul_fft.fft_matmul(x[..., perm], inverse=True,
+                                    precision=precision)
+    if norm == "backward":
+        out = out / n
+    return out
+
+
 def rfft(x: jnp.ndarray, backend: Backend = "auto",
          precision: str = "highest") -> jnp.ndarray:
     """Batched R2C FFT: real (..., N) -> complex (..., N/2+1), numpy layout."""
@@ -151,7 +184,26 @@ def irfft(x: jnp.ndarray, n: int | None = None, backend: Backend = "auto",
         out = real_model.irfft_spec(x, n, packed=packed, normalize=False)
     elif backend == "pallas":
         from smfft_tpu.ops import pallas_real
-        out = pallas_real.irfft_pallas(x, n, precision=precision, packed=packed)
+        if n >= 256:
+            # fused C2R: convert the spectrum to the packed revblock
+            # layout (one XLA transpose) and run the single-pass kernel
+            L = n // 2
+            c = L // 128
+            if packed:
+                pk = x
+            else:
+                head = jnp.real(x[..., :1]) + 1j * jnp.real(x[..., L:L + 1])
+                pk = jnp.concatenate([head, x[..., 1:L]], axis=-1)
+            if c > 1:
+                pk = pk.reshape(pk.shape[:-1] + (128, c)).swapaxes(-1, -2)
+                pk = pk.reshape(x.shape[:-1] + (L,))
+            b = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+            out = pallas_real.irfft_fused_planar(
+                jnp.real(pk).reshape(b, L), jnp.imag(pk).reshape(b, L), n,
+                precision=precision).reshape(x.shape[:-1] + (n,))
+        else:
+            out = pallas_real.irfft_pallas(x, n, precision=precision,
+                                           packed=packed)
     else:
         z = real_model._merge_inverse(x, n, packed=packed)
         zi = matmul_fft.fft_matmul(z, inverse=True, precision=precision)

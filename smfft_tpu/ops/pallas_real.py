@@ -307,3 +307,203 @@ def rfft_pallas_fused(x: jnp.ndarray, precision: str = "highest",
     dc = jnp.real(spec[..., :1]) + 0j
     nyq = jnp.imag(spec[..., :1]) + 0j
     return jnp.concatenate([dc, spec[..., 1:], nyq], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused C2R kernel (n >= 256): the exact mirror of the fused R2C.
+#
+# Consumes the packed revblock spectrum (as produced by rfft_fused_planar —
+# a relayout-free real-transform roundtrip), reconstructs the half-size
+# spectrum Z[k] = A[k] X[k] + B[k] conj(X[(L-k) mod L]) with the mirror's
+# lane reversal folded into ROW-permuted inverse-DFT matrices, runs the
+# B-style inverse core (lane matmul -> twiddle -> plane ladder), and
+# re-interleaves (re, im) -> (even, odd) samples with within-tile gathers.
+# Output is the natural real signal scaled by L = n/2 (the reference's
+# unnormalized contract, FFT.c:170-171).
+# ---------------------------------------------------------------------------
+
+
+def _irfft_tables(n: int):
+    L = n // 2
+    c = L // LANES
+    # inverse-direction half-size tables
+    _, _, t_re, t_im, g_re, g_im = _tables(L, inverse=True)
+    # A/B merge tables in revblock layout [k2, k1], k = k1*c + k2:
+    # A = (1 + i W^{-k})/2, B = (1 - i W^{-k})/2, W^{-k} = e^{+2pi i k/n}
+    k1 = np.arange(LANES, dtype=np.float64)[None, :]
+    k2 = np.arange(max(c, 1), dtype=np.float64)[:, None]
+    k = k1 * max(c, 1) + k2
+    wi_re = np.cos(2.0 * np.pi * k / n)
+    wi_im = np.sin(2.0 * np.pi * k / n)
+    # iW^{-k} = -wi_im + i wi_re
+    a_re, a_im = (1.0 - wi_im) * 0.5, +0.5 * wi_re
+    b_re, b_im = (1.0 + wi_im) * 0.5, -0.5 * wi_re
+    # mirror lane permutations p(b): plane >= 1: 127-b; plane 0: (128-b)%128
+    p1 = np.arange(LANES)[::-1]
+    p0 = (LANES - np.arange(LANES)) % LANES
+    gp1_re, gp1_im = g_re[p1, :], g_im[p1, :]
+    gp0_re, gp0_im = g_re[p0, :], g_im[p0, :]
+    # B tables permuted per plane: row k2 uses p0 for k2==0 else p1
+    bp_re = np.empty_like(b_re)
+    bp_im = np.empty_like(b_im)
+    bp_re[0], bp_im[0] = b_re[0][p0], b_im[0][p0]
+    if c > 1:
+        bp_re[1:], bp_im[1:] = b_re[1:][:, p1], b_im[1:][:, p1]
+    f32 = lambda m: np.ascontiguousarray(m, np.float32)
+    return tuple(map(f32, (
+        t_re, t_im, g_re, g_im, g_re + g_im,
+        gp1_re, gp1_im, gp1_re + gp1_im,
+        gp0_re, gp0_im, gp0_re + gp0_im,
+        a_re, a_im, bp_re, bp_im)))
+
+
+def _interleave(z_re, z_im, rows):
+    """(rows, 128) planar pair -> (rows, 256) with re at even lanes, im at
+    odd — the inverse of _deinterleave (within-tile gathers + roll)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    even = (lane % 2) == 0
+    # first output tile: sources lanes 0..63; second: 64..127
+    idx_lo = lane // 2
+    idx_hi = 64 + lane // 2
+    out0 = jnp.where(even, jnp.take_along_axis(z_re, idx_lo, axis=-1),
+                     jnp.take_along_axis(z_im, idx_lo, axis=-1))
+    out1 = jnp.where(even, jnp.take_along_axis(z_re, idx_hi, axis=-1),
+                     jnp.take_along_axis(z_im, idx_hi, axis=-1))
+    return jnp.concatenate([out0, out1], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_irfft(n: int, tile_t: int, precision: str):
+    """Fused C2R kernel: packed revblock spectrum (rows, L) planar ->
+    natural real (rows, n), scaled by L."""
+    L = n // 2
+    c = L // LANES
+    assert c >= 1
+    consts = _irfft_tables(n)
+    n_c = len(consts)
+
+    def kernel(*refs):
+        xr_ref, xi_ref = refs[0], refs[1]
+        (t_re, t_im, g_re, g_im, g_sum,
+         gp1_re, gp1_im, gp1_sum, gp0_re, gp0_im, gp0_sum,
+         a_re, a_im, bp_re, bp_im) = tuple(
+            r[:] for r in refs[2:2 + n_c])
+        o_ref = refs[2 + n_c]
+
+        x_r, x_i = xr_ref[:], xi_ref[:]        # (tile, L) revblock packed
+        lane = jax.lax.broadcasted_iota(jnp.int32, x_r.shape, 1)
+        at0 = lane == 0                        # slot k=0 lives in chunk 0
+
+        # term-1 operand: A*X, with slot 0 replaced by the true
+        # Z[0] = (DC+Nyq)/2 + i(DC-Nyq)/2  (X[0] packs (DC, Nyq))
+        xc = [ (x_r[:, j*LANES:(j+1)*LANES], x_i[:, j*LANES:(j+1)*LANES])
+               for j in range(c)]
+        u1_r, u1_i = [], []
+        for k2 in range(c):
+            ar_, ai_ = a_re[k2, :], a_im[k2, :]
+            vr, vi = xc[k2]
+            tr = vr * ar_ - vi * ai_
+            ti = vr * ai_ + vi * ar_
+            if k2 == 0:
+                l0 = jax.lax.broadcasted_iota(jnp.int32, tr.shape, 1) == 0
+                tr = jnp.where(l0, (vr + vi) * 0.5, tr)
+                ti = jnp.where(l0, (vr - vi) * 0.5, ti)
+            u1_r.append(tr)
+            u1_i.append(ti)
+
+        # term-2 operand: Bperm * conj(X[mirror-plane]), slot 0 zeroed
+        # (its contribution is already carried in u1's slot-0 fix)
+        u2_r, u2_i = [], []
+        for k2 in range(c):
+            br_, bi_ = bp_re[k2, :], bp_im[k2, :]
+            vr, vi = xc[(c - k2) % c]
+            vi = -vi                            # conj
+            tr = vr * br_ - vi * bi_
+            ti = vr * bi_ + vi * br_
+            if k2 == 0:
+                l0 = jax.lax.broadcasted_iota(jnp.int32, tr.shape, 1) == 0
+                tr = jnp.where(l0, 0.0, tr)
+                ti = jnp.where(l0, 0.0, ti)
+            u2_r.append(tr)
+            u2_i.append(ti)
+
+        dims = (((1,), (0,)), ((), ()))
+        # Z @ G_inv = U1 @ G + U2 @ Gp  (mirror folded into row-permuted G)
+        s1_r, s1_i = _cdot(jnp.concatenate(u1_r, axis=0),
+                           jnp.concatenate(u1_i, axis=0),
+                           g_re, g_im, g_sum, dims, precision)
+        if c > 1:
+            s2b_r, s2b_i = _cdot(jnp.concatenate(u2_r[1:], axis=0),
+                                 jnp.concatenate(u2_i[1:], axis=0),
+                                 gp1_re, gp1_im, gp1_sum, dims, precision)
+        s20_r, s20_i = _cdot(u2_r[0], u2_i[0], gp0_re, gp0_im, gp0_sum,
+                             dims, precision)
+
+        pre, pim = [], []
+        for j2 in range(c):
+            r1 = s1_r[j2 * tile_t:(j2 + 1) * tile_t]
+            i1 = s1_i[j2 * tile_t:(j2 + 1) * tile_t]
+            if j2 == 0:
+                r2, i2 = s20_r, s20_i
+            else:
+                r2 = s2b_r[(j2 - 1) * tile_t:j2 * tile_t]
+                i2 = s2b_i[(j2 - 1) * tile_t:j2 * tile_t]
+            rr, ii = r1 + r2, i1 + i2
+            # inverse twiddle w_L^{+j2*m1}
+            if c > 1:
+                tr_, ti_ = t_re[j2, :], t_im[j2, :]
+                rr, ii = rr * tr_ - ii * ti_, rr * ti_ + ii * tr_
+            pre.append(rr)
+            pim.append(ii)
+
+        # sublane inverse DFT_C over j2 -> m2
+        zr, zi = _plane_dft_list(pre, pim, +1.0)
+        # interleave (re, im) -> (even, odd) real samples per chunk
+        out = [ _interleave(zr[m2], zi[m2], tile_t) for m2 in range(c)]
+        o_ref[:] = (jnp.concatenate(out, axis=-1) if c > 1 else out[0])
+
+    in_spec = pl.BlockSpec((tile_t, L), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_t, n), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_c
+
+    @jax.jit
+    def run(vr, vi):
+        b = vr.shape[0]
+        grid = b // tile_t
+        compiler_params = None
+        if not _pc._INTERPRET:
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel",))
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[in_spec, in_spec] + const_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+            compiler_params=compiler_params,
+            interpret=_pc._INTERPRET,
+        )(vr, vi, *consts)
+
+    return run
+
+
+def irfft_fused_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
+                       precision: str = "highest",
+                       tile_t: int | None = None):
+    """Fused single-pass C2R: packed revblock spectrum planar (B, n/2)
+    pair -> natural real (B, n), scaled by n/2 (reference contract).
+    Pairs with rfft_fused_planar for a relayout-free real roundtrip."""
+    if n < 256 or n not in P.SUPPORTED_REAL_SIZES:
+        raise ValueError(f"irfft_fused requires real n in "
+                         f"{[s for s in P.SUPPORTED_REAL_SIZES if s >= 256]}")
+    b = vr.shape[0]
+    tile = tile_t or max(8, default_tile(n // 2))
+    while tile > 8 and b % tile:
+        tile //= 2
+    if b % tile:
+        raise ValueError(f"batch {b} not divisible by tile {tile}")
+    run = _build_irfft(n, tile, precision)
+    return run(vr.astype(jnp.float32), vi.astype(jnp.float32))

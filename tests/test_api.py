@@ -86,3 +86,12 @@ def test_plan_system():
 def test_packing_requirement_message():
     with pytest.raises(ValueError, match="multiple of 4"):
         PC.fft_pallas(jnp.zeros((6, 32), jnp.complex64))
+
+
+def test_ifft_unordered_roundtrip(rng, backend):
+    """fft(ordered=False) |> ifft_unordered == x (relayout-free pair)."""
+    x = rand_c(rng, 64, 1024)
+    u = S.fft(jnp.array(x), ordered=False, backend=backend)
+    from smfft_tpu import api
+    back = api.ifft_unordered(u, backend=backend)
+    assert max_abs_err(back, x) < 1e-5

@@ -113,3 +113,53 @@ def test_batch_shapes(rng, n):
     got = np.asarray(PC.fft_pallas(to_dev(x)))
     assert got.shape == (4, 16, n)
     assert max_abs_err(got, np.fft.fft(x.astype(np.complex128))) < tol(n)
+
+
+def test_emit_fft_composable_in_user_kernel(rng):
+    """The README promise: emit_fft fuses into a larger user Pallas kernel
+    (the __device__-function composability parity, reference README.md:10).
+    A spectral low-pass filter: FFT -> mask -> inverse, one kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, b = 512, 64
+    c = n // 128
+    fwd = PC.const_arrays(n, inverse=False)
+    inv = PC.const_arrays(n, inverse=True)
+    nc = PC.n_consts(n)
+
+    # keep only the DC plane-chunk (a crude low-pass in revblock layout)
+    def user_kernel(*refs):
+        xr_ref, xi_ref = refs[0], refs[1]
+        cf = PC.read_consts(refs[2:2 + nc])
+        ci = PC.read_consts(refs[2 + nc:2 + 2 * nc])
+        or_ref, oi_ref = refs[2 + 2 * nc], refs[3 + 2 * nc]
+        fr, fi = PC.emit_fft(xr_ref[:], xi_ref[:], cf, n=n)
+        lane = jax.lax.broadcasted_iota(jnp.int32, fr.shape, 1)
+        keep = lane < 128   # chunk k2=0 only
+        fr = jnp.where(keep, fr, 0.0)
+        fi = jnp.where(keep, fi, 0.0)
+        br, bi = PC.emit_fft_rev(fr, fi, ci, n=n, inverse=True)
+        or_ref[:] = br / n
+        oi_ref[:] = bi / n
+
+    spec = pl.BlockSpec((b, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cspec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * nc)
+    x = rand_c(rng, b, n)
+    vr = jnp.array(np.ascontiguousarray(x.real))
+    vi = jnp.array(np.ascontiguousarray(x.imag))
+    o_r, o_i = pl.pallas_call(
+        user_kernel, grid=(1,),
+        in_specs=[spec, spec] + cspec,
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((b, n), jnp.float32),) * 2,
+        interpret=True,
+    )(vr, vi, *fwd, *inv)
+    got = np.asarray(o_r) + 1j * np.asarray(o_i)
+    # reference: zero all frequencies whose k1*C+k2 has k2 != 0 ... the
+    # kept set in revblock chunk 0 is {k : k % c == 0}? no: chunk k2=0
+    # holds k = k1*c + 0 -> multiples of c
+    f = np.fft.fft(x.astype(np.complex128))
+    mask = (np.arange(n) % c) == 0
+    ref = np.fft.ifft(np.where(mask, f, 0))
+    assert max_abs_err(got, ref) < 1e-5

@@ -90,3 +90,32 @@ def test_rfft_fused_packed(rng):
 def test_rfft_fused_small_sizes_rejected():
     with pytest.raises(ValueError, match="rfft_fused requires"):
         PR.rfft_fused_planar(jnp.zeros((8, 128), jnp.float32))
+
+
+@pytest.mark.parametrize("n", [256, 512, 1024, 4096])
+def test_irfft_fused_roundtrip(rng, n):
+    """Relayout-free real roundtrip: rfft_fused |> irfft_fused == (n/2)*x
+    with both sides in the packed revblock layout (TEST_C2R promoted,
+    FFT-GPU-32bit-Stockham.cu:595-623)."""
+    x = (rng.random((64, n)) - 0.5).astype(np.float32)
+    o_r, o_i = PR.rfft_fused_planar(jnp.array(x))
+    back = np.asarray(PR.irfft_fused_planar(o_r, o_i, n)) / (n // 2)
+    assert max_abs_err(back, x) < tol(n)
+
+
+def test_irfft_fused_from_numpy_spectrum(rng):
+    """Fused C2R fed a numpy-computed spectrum (converted to the packed
+    revblock layout) reproduces the signal."""
+    n, L = 1024, 512
+    c = L // 128
+    x = (rng.random((64, n)) - 0.5).astype(np.float32)
+    full = np.fft.rfft(x.astype(np.float64))
+    packed = np.concatenate(
+        [full[:, :1].real + 1j * full[:, L:L + 1].real, full[:, 1:L]],
+        axis=1).astype(np.complex64)
+    # natural packed -> revblock: rev[k2*128 + k1] = packed[k1*c + k2]
+    rev = packed.reshape(-1, 128, c).transpose(0, 2, 1).reshape(-1, L)
+    back = np.asarray(PR.irfft_fused_planar(
+        jnp.array(np.ascontiguousarray(rev.real)),
+        jnp.array(np.ascontiguousarray(rev.imag)), n)) / (n // 2)
+    assert max_abs_err(back, x) < tol(n)
