@@ -35,11 +35,8 @@ from smfft_tpu.models.stockham import fft_stockham
 
 def pack_real(x: jnp.ndarray) -> jnp.ndarray:
     """Interleave a real signal (..., N) into complex (..., N/2): even + i*odd."""
-    return jax_lax_complex(x[..., 0::2], x[..., 1::2])
-
-
-def jax_lax_complex(re, im):
-    return re.astype(jnp.float32) + 1j * im.astype(jnp.float32)
+    x = x.astype(jnp.float32)
+    return x[..., 0::2] + 1j * x[..., 1::2]
 
 
 def _split_forward(z: jnp.ndarray, n: int, packed: bool) -> jnp.ndarray:

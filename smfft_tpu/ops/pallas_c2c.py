@@ -188,17 +188,6 @@ def _cdot(ar, ai, br, bi, bs, dims, precision, split_consts=None):
     return t1 - t2, t3 - t1 - t2
 
 
-def _cdot_lhs(br, bi, bs, xr, xi, dims, precision):
-    """3-mult complex dot_general with the constant matrix as LHS."""
-    dot = lambda w, x: jax.lax.dot_general(
-        w, x, dimension_numbers=dims, precision=_PREC[precision],
-        preferred_element_type=jnp.float32)
-    t1 = dot(br, xr)
-    t2 = dot(bi, xi)
-    t3 = dot(bs, xr + xi)
-    return t1 - t2, t3 - t1 - t2
-
-
 def _cmul_scalar(re, im, wr: float, wi: float):
     """(re + i*im) * (wr + i*wi) with python-scalar twiddles; exact
     special cases for 1, -1, +-i avoid needless VPU multiplies (the same
@@ -274,15 +263,6 @@ def _plane_dft_list(pre, pim, sign: float):
         out_r[k], out_i[k] = er[k] + tr, ei[k] + ti
         out_r[k + c // 2], out_i[k + c // 2] = er[k] - tr, ei[k] - ti
     return out_r, out_i
-
-
-def _plane_dft(xr, xi, c: int, sign: float):
-    """DFT of length c along axis 1 (planes) of (T, C, 128) values."""
-    pre = [xr[:, j, :] for j in range(c)]
-    pim = [xi[:, j, :] for j in range(c)]
-    outr, outi = _plane_dft_list(pre, pim, sign)
-    return (jnp.concatenate([p[:, None, :] for p in outr], axis=1),
-            jnp.concatenate([p[:, None, :] for p in outi], axis=1))
 
 
 def _chunks(x, c):

@@ -108,8 +108,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from smfft_tpu.ops.pallas_c2c import (
-    LANES, _PREC, _cdot, _plane_dft_list, _cmul_scalar, _tables,
-    _INTERPRET, default_tile)
+    LANES, _cdot, _plane_dft_list, _tables, default_tile)
 from smfft_tpu.ops import pallas_c2c as _pc
 
 
@@ -159,7 +158,8 @@ def _deinterleave(x, rows):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_rfft(n: int, tile_t: int, precision: str):
+def _build_rfft(n: int, tile_t: int, precision: str,
+                ordered: bool = False):
     """Fused R2C kernel: real (rows, n) -> packed revblock spectrum.
 
     Output layout: (rows*c, 128) planar pair holding the packed spectrum
@@ -238,8 +238,15 @@ def _build_rfft(n: int, tile_t: int, precision: str):
                 xi_ = jnp.where(at0, zf_rc[0] - zf_ic[0], xi_)
             out_r.append(xr_)
             out_i.append(xi_)
-        or_ref[:] = (jnp.concatenate(out_r, axis=-1) if c > 1 else out_r[0])
-        oi_ref[:] = (jnp.concatenate(out_i, axis=-1) if c > 1 else out_i[0])
+        if ordered and c > 1:
+            from smfft_tpu.ops.pallas_c2c import _riffle_merge
+            or_ref[:] = _riffle_merge(out_r)
+            oi_ref[:] = _riffle_merge(out_i)
+        else:
+            or_ref[:] = (jnp.concatenate(out_r, axis=-1)
+                         if c > 1 else out_r[0])
+            oi_ref[:] = (jnp.concatenate(out_i, axis=-1)
+                         if c > 1 else out_i[0])
 
     in_spec = pl.BlockSpec((tile_t, n), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -271,7 +278,7 @@ def _build_rfft(n: int, tile_t: int, precision: str):
 
 
 def rfft_fused_planar(x: jnp.ndarray, precision: str = "highest",
-                      tile_t: int | None = None):
+                      tile_t: int | None = None, ordered: bool = False):
     """Fused single-pass R2C: real (B, n) fp32 -> packed revblock spectrum
     as planar (B, n/2) pair.  Requires n >= 256."""
     n = x.shape[-1]
@@ -284,7 +291,7 @@ def rfft_fused_planar(x: jnp.ndarray, precision: str = "highest",
         tile //= 2
     if b % tile:
         raise ValueError(f"batch {b} not divisible by tile {tile}")
-    run = _build_rfft(n, tile, precision)
+    run = _build_rfft(n, tile, precision, ordered)
     return run(x.astype(jnp.float32))
 
 
@@ -295,12 +302,8 @@ def rfft_pallas_fused(x: jnp.ndarray, precision: str = "highest",
     n = x.shape[-1]
     batch_shape = x.shape[:-1]
     xb = x.reshape((-1, n))
-    o_r, o_i = rfft_fused_planar(xb, precision=precision)
+    o_r, o_i = rfft_fused_planar(xb, precision=precision, ordered=True)
     L = n // 2
-    c = L // LANES
-    if c > 1:
-        o_r = o_r.reshape(-1, c, LANES).swapaxes(-1, -2).reshape(-1, L)
-        o_i = o_i.reshape(-1, c, LANES).swapaxes(-1, -2).reshape(-1, L)
     spec = jax.lax.complex(o_r, o_i).reshape(batch_shape + (L,))
     if packed:
         return spec

@@ -31,13 +31,15 @@ def main():
 
     print(f"Device: {d.get('device', '?')}  "
           f"(method: {d.get('method', '?')})\n")
-    print("| FFT size | external GB/s | external MFFT/s | multiple MFFT/s |")
-    print("|---:|---:|---:|---:|")
+    print("| FFT size | external GB/s | ordered GB/s | external MFFT/s "
+          "| multiple MFFT/s |")
+    print("|---:|---:|---:|---:|---:|")
     for n, e in sorted(d["sizes"].items(), key=lambda kv: int(kv[0])):
         if "error" in e and "external_gbs" not in e:
-            print(f"| {n} | error | error | error |")
+            print(f"| {n} | error | error | error | error |")
             continue
         print(f"| {n} | {e.get('external_gbs', float('nan')):.1f} "
+              f"| {e.get('ordered_gbs', float('nan')):.1f} "
               f"| {e.get('external_mffts', float('nan')):.1f} "
               f"| {e.get('multiple_mffts', float('nan')):.1f} |")
     print()
