@@ -43,6 +43,15 @@ def _resolve_backend(backend: Backend) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def _resolve_precision(precision: str | None) -> str:
+    """None -> the process-level default (config.flags.precision, the
+    SMFFT_PRECISION analogue of the reference's debug.h compile flags)."""
+    if precision is not None:
+        return precision
+    from smfft_tpu.config import flags
+    return flags.precision
+
+
 def _check_c2c(n: int):
     if n not in P.SUPPORTED_C2C_SIZES:
         raise ValueError(
@@ -50,24 +59,26 @@ def _check_c2c(n: int):
 
 
 def _c2c(x: jnp.ndarray, inverse: bool, ordered: bool, backend: str,
-         precision: str) -> jnp.ndarray:
+         precision: str | None) -> jnp.ndarray:
     n = x.shape[-1]
     _check_c2c(n)
+    precision = _resolve_precision(precision)
+    # resolve the static plan once — the L0 dispatch spine; every backend
+    # below specializes on it (the reference's 32-case template switch,
+    # FFT-GPU-32bit.cu:599-659)
+    plan = P.plan_for(n, "inverse" if inverse else "forward", "c2c", ordered)
     backend = _resolve_backend(backend)
     if backend == "spec":
-        return (cooley_tukey.fft_dit(x, inverse=inverse, ordered=ordered)
-                if ordered else
-                cooley_tukey.fft_dit(x, inverse=inverse, ordered=False))
+        return cooley_tukey.fft_dit(x, inverse=inverse, ordered=plan.ordered)
     if backend == "pallas":
         from smfft_tpu.ops import pallas_c2c
-        return pallas_c2c.fft_pallas(x, inverse=inverse, ordered=ordered,
-                                     precision=precision)
-    return matmul_fft.fft_matmul(x, inverse=inverse, ordered=ordered,
-                                 precision=precision)
+        return pallas_c2c.fft_pallas(x, precision=precision, plan=plan)
+    return matmul_fft.fft_matmul(x, inverse=inverse, ordered=plan.ordered,
+                                 radices=plan.radices, precision=precision)
 
 
 def fft(x: jnp.ndarray, ordered: bool = True, backend: Backend = "auto",
-        precision: str = "highest") -> jnp.ndarray:
+        precision: str | None = None) -> jnp.ndarray:
     """Batched forward C2C FFT over the last axis.
 
     Args:
@@ -82,7 +93,7 @@ def fft(x: jnp.ndarray, ordered: bool = True, backend: Backend = "auto",
 
 
 def ifft(x: jnp.ndarray, ordered: bool = True, backend: Backend = "auto",
-         precision: str = "highest", norm: str | None = "backward") -> jnp.ndarray:
+         precision: str | None = None, norm: str | None = "backward") -> jnp.ndarray:
     """Batched inverse C2C FFT. ``norm="backward"`` divides by N (numpy
     semantics); ``norm=None`` matches the reference's unnormalized inverse."""
     out = _c2c(x, inverse=True, ordered=ordered, backend=backend,
@@ -93,7 +104,7 @@ def ifft(x: jnp.ndarray, ordered: bool = True, backend: Backend = "auto",
 
 
 def ifft_unordered(x: jnp.ndarray, backend: Backend = "auto",
-                   precision: str = "highest",
+                   precision: str | None = None,
                    norm: str | None = "backward") -> jnp.ndarray:
     """Inverse C2C FFT consuming the revblock layout that
     ``fft(ordered=False)`` produces, returning natural order in ONE fused
@@ -108,6 +119,7 @@ def ifft_unordered(x: jnp.ndarray, backend: Backend = "auto",
     """
     n = x.shape[-1]
     _check_c2c(n)
+    precision = _resolve_precision(precision)
     backend = _resolve_backend(backend)
     if backend == "pallas":
         from smfft_tpu.ops import pallas_c2c
@@ -125,12 +137,13 @@ def ifft_unordered(x: jnp.ndarray, backend: Backend = "auto",
 
 
 def rfft(x: jnp.ndarray, backend: Backend = "auto",
-         precision: str = "highest") -> jnp.ndarray:
+         precision: str | None = None) -> jnp.ndarray:
     """Batched R2C FFT: real (..., N) -> complex (..., N/2+1), numpy layout."""
     n = x.shape[-1]
     if n not in P.SUPPORTED_REAL_SIZES:
         raise ValueError(
             f"Error wrong FFT length! N={n}; supported: {P.SUPPORTED_REAL_SIZES}")
+    precision = _resolve_precision(precision)
     backend = _resolve_backend(backend)
     if backend == "spec":
         return real_model.rfft_spec(x)
@@ -147,12 +160,13 @@ def rfft(x: jnp.ndarray, backend: Backend = "auto",
 
 
 def fft_packed_real(x: jnp.ndarray, backend: Backend = "auto",
-                    precision: str = "highest") -> jnp.ndarray:
+                    precision: str | None = None) -> jnp.ndarray:
     """R2C in the reference's packed layout: (..., N/2) complex with
     out[..., 0] = DC + 1j*Nyquist (FFT-GPU-32bit-Stockham.cu:332-340)."""
     n = x.shape[-1]
     if n not in P.SUPPORTED_REAL_SIZES:
         raise ValueError(f"Error wrong FFT length! N={n}")
+    precision = _resolve_precision(precision)
     backend = _resolve_backend(backend)
     if backend == "spec":
         return real_model.rfft_spec(x, packed=True)
@@ -168,7 +182,7 @@ def fft_packed_real(x: jnp.ndarray, backend: Backend = "auto",
 
 
 def irfft(x: jnp.ndarray, n: int | None = None, backend: Backend = "auto",
-          precision: str = "highest", norm: str | None = "backward",
+          precision: str | None = None, norm: str | None = "backward",
           packed: bool = False) -> jnp.ndarray:
     """Batched C2R inverse FFT: complex spectrum -> real (..., N).
 
@@ -179,6 +193,7 @@ def irfft(x: jnp.ndarray, n: int | None = None, backend: Backend = "auto",
         n = (x.shape[-1] - 1) * 2 if not packed else x.shape[-1] * 2
     if n not in P.SUPPORTED_REAL_SIZES:
         raise ValueError(f"Error wrong FFT length! N={n}")
+    precision = _resolve_precision(precision)
     backend = _resolve_backend(backend)
     if backend == "spec":
         out = real_model.irfft_spec(x, n, packed=packed, normalize=False)

@@ -27,13 +27,14 @@ into relayout-free pipelines, the TPU analogue of the reference's cheap
       inverse it consumes kernel A's output directly, giving a
       convolution-style roundtrip with zero reordering passes anywhere.
 
-Natural-order output for N >= 256 ("ordered") is kernel A plus one XLA
-transpose epilogue (B, C, 128) -> (B, 128, C) — the four-step algorithm's
-irreducible transpose, the analogue of the reference's reorder cost
-(README.md:33-36).  For N <= 128 every transform fits in one lane row
-(128/N packed per row for N < 128, mirroring the reference's 4x32 / 2x64
-per-block packing, FFT-GPU-32bit.cu:588-595) and output is natural for
-free.
+Natural-order output for N >= 256 ("ordered") is kernel A with the
+revblock -> natural relayout done *in-kernel* (emit_fft ordered=True) —
+the four-step algorithm's digit-swap absorbed before the single HBM
+store, the analogue of the reference's in-kernel reorder network
+(FFT-GPU-32bit.cu:54-329, README.md:33-36).  For N <= 128 every transform
+fits in one lane row (128/N packed per row for N < 128, mirroring the
+reference's 4x32 / 2x64 per-block packing, FFT-GPU-32bit.cu:588-595) and
+output is natural for free.
 """
 
 from __future__ import annotations
@@ -431,10 +432,12 @@ def default_tile(n: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _build(n: int, inverse: bool, rev_in: bool, precision: str,
-           tile_t: int, multiple_iters: int = 0, fused_scale: bool = False,
-           ordered: bool = False):
-    """Jitted planar FFT for static (n, direction, kernel style).
+def _build(plan: P.FFTParams, rev_in: bool, precision: str,
+           tile_t: int, multiple_iters: int = 0, fused_scale: bool = False):
+    """Jitted planar FFT specialized on a static :class:`FFTParams` plan —
+    the L0 plan object is the cache key, exactly as the reference's
+    template-parameter classes specialize each kernel instance
+    (SM_FFT_parameters.cuh:1-390).
 
     rev_in=False -> kernel A (natural in, revblock out);
     rev_in=True  -> kernel B (revblock in, natural out).
@@ -444,6 +447,13 @@ def _build(n: int, inverse: bool, rev_in: bool, precision: str,
     (free normalization; also lets benchmark loops carry only a scalar so
     XLA cannot promote the HBM working set into VMEM).
     """
+    from smfft_tpu.config import debug_print
+    debug_print(f"build c2c kernel: plan={plan} rev_in={rev_in} "
+                f"precision={precision} tile={tile_t} "
+                f"multiple_iters={multiple_iters}")
+    n = plan.core_n
+    inverse = plan.direction == "inverse"
+    ordered = plan.ordered
     c = max(1, n // LANES)
     emit = emit_fft_rev if rev_in else emit_fft
     n_extra = 1 if fused_scale else 0
@@ -531,23 +541,48 @@ def _pick_tile(b: int, n: int, tile_t: int | None) -> int:
     return tile
 
 
+def _pad_rows(vr, vi):
+    """Pad the row batch up to the 8-sublane granule so any nFFTs works
+    (the reference accepts any nFFTs for N >= 128; ADVICE r1).  Returns
+    (vr, vi, original_rows)."""
+    b = vr.shape[0]
+    pad = (-b) % 8
+    if pad:
+        zeros = jnp.zeros((pad, vr.shape[1]), vr.dtype)
+        vr = jnp.concatenate([vr, zeros], axis=0)
+        vi = jnp.concatenate([vi, zeros], axis=0)
+    return vr, vi, b
+
+
 def fft_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
                inverse: bool = False, rev_in: bool = False,
                precision: str = "highest", tile_t: int | None = None,
-               multiple_iters: int = 0, scale=None, ordered: bool = False):
+               multiple_iters: int = 0, scale=None, ordered: bool = False,
+               plan: P.FFTParams | None = None):
     """Planar batched FFT, single fused HBM pass (layouts per kernel A/B).
 
     vr, vi: fp32 (B_rows, n_row), n_row = max(n, 128); rows pack 128/n
     transforms when n < 128 (nFFTs divisibility mirrors the reference,
-    FFT-GPU-32bit.cu:835-836).  ``scale`` (scalar array) is multiplied into
-    the input inside the kernel (fused, free).
+    FFT-GPU-32bit.cu:835-836).  Row batches are padded to the 8-sublane
+    granule internally, so any row count works.  ``scale`` (scalar array)
+    is multiplied into the input inside the kernel (fused, free).  The
+    (n, direction, ordered) triple resolves to a cached
+    :class:`FFTParams` plan that keys the kernel build.
     """
+    if plan is None:
+        plan = P.plan_for(n, "inverse" if inverse else "forward", "c2c",
+                          ordered)
+    vr, vi, rows = _pad_rows(vr, vi)
     tile = _pick_tile(vr.shape[0], n, tile_t)
-    run = _build(n, inverse, rev_in, precision, tile, multiple_iters,
-                 scale is not None, ordered)
+    run = _build(plan, rev_in, precision, tile, multiple_iters,
+                 scale is not None)
     if scale is not None:
-        return run(vr, vi, jnp.asarray(scale, jnp.float32))
-    return run(vr, vi)
+        o_r, o_i = run(vr, vi, jnp.asarray(scale, jnp.float32))
+    else:
+        o_r, o_i = run(vr, vi)
+    if rows != o_r.shape[0]:
+        o_r, o_i = o_r[:rows], o_i[:rows]
+    return o_r, o_i
 
 
 # ---------------------------------------------------------------------------
@@ -570,21 +605,22 @@ def _to_rows(x, n):
 
 
 def fft_pallas(x: jnp.ndarray, inverse: bool = False, ordered: bool = True,
-               precision: str = "highest") -> jnp.ndarray:
+               precision: str = "highest",
+               plan: P.FFTParams | None = None) -> jnp.ndarray:
     """Batched C2C FFT via the fused Pallas kernel.
 
-    ordered=True returns natural-order output (for N >= 256 this adds the
-    four-step transpose as an XLA epilogue); ordered=False returns the
+    ordered=True returns natural-order output with the digit-swap relayout
+    done in-kernel before the single HBM store; ordered=False returns the
     revblock layout out[..., k2*128 + k1] = X[k1*C + k2] in one fused pass
     (the fft_reorder=0 analogue; pair with ifft_pallas_rev for relayout-
     free roundtrips).
     """
     n = x.shape[-1]
-    if n not in P.SUPPORTED_C2C_SIZES:
-        raise ValueError(f"Error wrong FFT length! N={n}")
+    if plan is None:
+        plan = P.plan_for(n, "inverse" if inverse else "forward", "c2c",
+                          ordered)
     vr, vi, batch_shape = _to_rows(x, n)
-    o_r, o_i = fft_planar(vr, vi, n, inverse=inverse, precision=precision,
-                          ordered=ordered)
+    o_r, o_i = fft_planar(vr, vi, n, precision=precision, plan=plan)
     out = jax.lax.complex(o_r, o_i)
     return out.reshape(batch_shape + (n,))
 
@@ -595,10 +631,9 @@ def ifft_pallas_rev(x: jnp.ndarray, precision: str = "highest",
     fft_pallas(ordered=False)), producing natural order in one fused pass.
     Unnormalized (reference contract, SURVEY.md quirk 3)."""
     n = x.shape[-1]
-    if n not in P.SUPPORTED_C2C_SIZES:
-        raise ValueError(f"Error wrong FFT length! N={n}")
+    plan = P.plan_for(n, "forward" if forward else "inverse", "c2c", False)
     vr, vi, batch_shape = _to_rows(x, n)
-    o_r, o_i = fft_planar(vr, vi, n, inverse=not forward, rev_in=True,
-                          precision=precision)
+    o_r, o_i = fft_planar(vr, vi, n, rev_in=True, precision=precision,
+                          plan=plan)
     out = jax.lax.complex(o_r, o_i)
     return out.reshape(batch_shape + (n,))

@@ -158,15 +158,20 @@ def _deinterleave(x, rows):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_rfft(n: int, tile_t: int, precision: str,
-                ordered: bool = False):
+def _build_rfft(plan: P.FFTParams, tile_t: int, precision: str):
     """Fused R2C kernel: real (rows, n) -> packed revblock spectrum.
+
+    Specialized on the static r2c :class:`FFTParams` plan (n = real length,
+    core at n//2 — the reference's half-size template dispatch,
+    FFT-GPU-32bit-Stockham.cu:406-427).
 
     Output layout: (rows*c, 128) planar pair holding the packed spectrum
     X[k] (k = k1*c + k2 at [row k2-plane, lane k1]), slot k=0 carrying
     (DC, Nyquist) as (re, im) (reference layout,
     FFT-GPU-32bit-Stockham.cu:332-340).
     """
+    n = plan.n
+    ordered = plan.ordered
     L = n // 2
     c = L // LANES
     assert c >= 1
@@ -285,14 +290,23 @@ def rfft_fused_planar(x: jnp.ndarray, precision: str = "highest",
     if n < 256 or n not in P.SUPPORTED_REAL_SIZES:
         raise ValueError(f"rfft_fused requires real n in "
                          f"{[s for s in P.SUPPORTED_REAL_SIZES if s >= 256]}")
+    rows = x.shape[0]
+    pad = (-rows) % 8
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad, n), x.dtype)], axis=0)
     b = x.shape[0]
     tile = tile_t or max(8, default_tile(n // 2))
     while tile > 8 and b % tile:
         tile //= 2
     if b % tile:
         raise ValueError(f"batch {b} not divisible by tile {tile}")
-    run = _build_rfft(n, tile, precision, ordered)
-    return run(x.astype(jnp.float32))
+    plan = P.plan_for(n, "forward", "r2c", ordered)
+    run = _build_rfft(plan, tile, precision)
+    o_r, o_i = run(x.astype(jnp.float32))
+    if pad:
+        o_r, o_i = o_r[:rows], o_i[:rows]
+    return o_r, o_i
 
 
 def rfft_pallas_fused(x: jnp.ndarray, precision: str = "highest",
@@ -376,9 +390,11 @@ def _interleave(z_re, z_im, rows):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_irfft(n: int, tile_t: int, precision: str):
+def _build_irfft(plan: P.FFTParams, tile_t: int, precision: str):
     """Fused C2R kernel: packed revblock spectrum (rows, L) planar ->
-    natural real (rows, n), scaled by L."""
+    natural real (rows, n), scaled by L.  Specialized on the static c2r
+    :class:`FFTParams` plan."""
+    n = plan.n
     L = n // 2
     c = L // LANES
     assert c >= 1
@@ -502,11 +518,19 @@ def irfft_fused_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
     if n < 256 or n not in P.SUPPORTED_REAL_SIZES:
         raise ValueError(f"irfft_fused requires real n in "
                          f"{[s for s in P.SUPPORTED_REAL_SIZES if s >= 256]}")
+    rows = vr.shape[0]
+    pad = (-rows) % 8
+    if pad:
+        zeros = jnp.zeros((pad, n // 2), vr.dtype)
+        vr = jnp.concatenate([vr, zeros], axis=0)
+        vi = jnp.concatenate([vi, zeros], axis=0)
     b = vr.shape[0]
     tile = tile_t or max(8, default_tile(n // 2))
     while tile > 8 and b % tile:
         tile //= 2
     if b % tile:
         raise ValueError(f"batch {b} not divisible by tile {tile}")
-    run = _build_irfft(n, tile, precision)
-    return run(vr.astype(jnp.float32), vi.astype(jnp.float32))
+    plan = P.plan_for(n, "inverse", "c2r", True)
+    run = _build_irfft(plan, tile, precision)
+    out = run(vr.astype(jnp.float32), vi.astype(jnp.float32))
+    return out[:rows] if pad else out

@@ -115,6 +115,30 @@ def test_batch_shapes(rng, n):
     assert max_abs_err(got, np.fft.fft(x.astype(np.complex128))) < tol(n)
 
 
+@pytest.mark.parametrize("b", [1, 3, 12])
+def test_odd_batch_padding(rng, b):
+    """Any nFFTs works for N >= 128 (rows padded to the 8-sublane granule
+    internally; reference accepts any nFFTs there too — ADVICE r1)."""
+    n = 256
+    x = rand_c(rng, b, n)
+    got = np.asarray(PC.fft_pallas(to_dev(x)))
+    assert got.shape == (b, n)
+    assert max_abs_err(got, np.fft.fft(x.astype(np.complex128))) < tol(n)
+
+
+def test_plan_keys_kernel_builds():
+    """FFTParams is the kernel-build cache key (the L0 dispatch spine)."""
+    from smfft_tpu import params as P
+    plan = P.plan_for(256, "forward", "c2c", True)
+    r1 = PC._build(plan, False, "highest", 8)
+    r2 = PC._build(P.plan_for(256, "forward", "c2c", True), False,
+                   "highest", 8)
+    assert r1 is r2  # frozen dataclass hashing -> cache hit
+    r3 = PC._build(P.plan_for(256, "inverse", "c2c", True), False,
+                   "highest", 8)
+    assert r3 is not r1
+
+
 def test_emit_fft_composable_in_user_kernel(rng):
     """The README promise: emit_fft fuses into a larger user Pallas kernel
     (the __device__-function composability parity, reference README.md:10).

@@ -53,6 +53,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from smfft_tpu import api, native
+    from smfft_tpu.config import flags
 
     # eager ops on complex arrays are unsupported on some backends (axon);
     # force completion through a jitted real-valued reduction
@@ -124,13 +125,16 @@ def main(argv=None):
                 if c > 1:
                     got = got.reshape(n_ffts, c, 128).transpose(
                         0, 2, 1).reshape(n_ffts, n)
+            elif backend == "spec":
+                from smfft_tpu.models import cooley_tukey
+                got = got[:, cooley_tukey.bit_reverse_indices(n)]
             else:
                 from smfft_tpu import params as _P
                 perm = matmul_fft.digit_reverse_indices(
                     n, _P.get_factorization(n))
                 got = got[:, perm]
-        stats = native.compare(got, golden.astype(np.complex64),
-                               args.tolerance)
+        stats = (native.compare(got, golden.astype(np.complex64),
+                                args.tolerance) if flags.testing else None)
     elif args.kind == "r2c":
         x = native.generate_uniform(n_ffts * n, args.seed).reshape(n_ffts, n)
         golden = np.fft.rfft(x.astype(np.float64)).astype(np.complex64)
@@ -148,7 +152,8 @@ def main(argv=None):
             _ = float(force(out))
             times.append(time.perf_counter() - t0)
         got = transfer.from_device_complex(out)
-        stats = native.compare_r2c_packed(got, golden, args.tolerance)
+        stats = (native.compare_r2c_packed(got, golden, args.tolerance)
+                 if flags.testing else None)
     else:  # c2r
         xsig = native.generate_uniform(n_ffts * n, args.seed).reshape(
             n_ffts, n)
@@ -168,13 +173,19 @@ def main(argv=None):
             _ = float(force(out))
             times.append(time.perf_counter() - t0)
         got = np.asarray(out)
-        stats = native.compare_real(got, golden, got_scale=n // 2,
-                                    want_scale=1.0,
-                                    tolerance=args.tolerance)
+        stats = (native.compare_real(got, golden, got_scale=n // 2,
+                                     want_scale=1.0,
+                                     tolerance=args.tolerance)
+                 if flags.testing else None)
 
     mean_ms = 1e3 * float(np.mean(times))
     print(f"smFFT-tpu time: {mean_ms:.3f} ms/run (mean of {args.n_runs}; "
           f"includes dispatch)")
+    if stats is None:
+        # reference behavior with TESTING off: timing only, no golden
+        # compare (SMFFT_Stockham_C2C/FFT.c:138-144, debug.h:3)
+        print("no verification (SMFFT_TESTING=0)")
+        return 0
     print(f"total error: {stats['total_error']:.6e}  "
           f"mean error: {stats['mean_error']:.6e}  "
           f"max error: {stats['max_error']:.6e}")
