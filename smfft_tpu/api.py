@@ -200,22 +200,20 @@ def irfft(x: jnp.ndarray, n: int | None = None, backend: Backend = "auto",
     elif backend == "pallas":
         from smfft_tpu.ops import pallas_real
         if n >= 256:
-            # fused C2R: convert the spectrum to the packed revblock
-            # layout (one XLA transpose) and run the single-pass kernel
+            # fused C2R on the natural packed spectrum; the natural ->
+            # revblock conversion happens in-kernel (digit_swap_split),
+            # so there is no XLA relayout pass
             L = n // 2
-            c = L // 128
             if packed:
                 pk = x
             else:
                 head = jnp.real(x[..., :1]) + 1j * jnp.real(x[..., L:L + 1])
                 pk = jnp.concatenate([head, x[..., 1:L]], axis=-1)
-            if c > 1:
-                pk = pk.reshape(pk.shape[:-1] + (128, c)).swapaxes(-1, -2)
-                pk = pk.reshape(x.shape[:-1] + (L,))
             b = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
             out = pallas_real.irfft_fused_planar(
                 jnp.real(pk).reshape(b, L), jnp.imag(pk).reshape(b, L), n,
-                precision=precision).reshape(x.shape[:-1] + (n,))
+                precision=precision, in_natural=True,
+            ).reshape(x.shape[:-1] + (n,))
         else:
             out = pallas_real.irfft_pallas(x, n, precision=precision,
                                            packed=packed)

@@ -6,11 +6,14 @@ do_FFT_Stockham_mk6, SMFFT_Stockham_C2C/FFT-GPU-32bit-Stockham.cu:97-240):
 one HBM read + one HBM write per transform, all butterfly work in VMEM.
 
 Algorithm: two-factor decimation split N = C * 128 with the 128-point part
-contracted on the LANE axis by a dense 128x128 DFT matmul — the MXU is the
-TPU's lane-mixing network, replacing the reference's warp shuffles — and
-the C-point part contracted on the sublane/register axis by a small matmul.
-Complex arithmetic is planar fp32 (Mosaic has no complex dtype) using the
-3-multiply (Karatsuba) complex matmul.
+contracted on the LANE axis by a dense DFT matmul — the MXU is the TPU's
+lane-mixing network, replacing the reference's warp shuffles — and the
+C-point part computed by a recursive radix-4 ladder over register planes
+on the VPU.  Complex arithmetic is planar fp32 (Mosaic has no complex
+dtype); the lane DFT exploits the DFT matrix's mirror symmetry to run as
+TWO real matmuls against one packed 128x128 matrix plus a cheap lane
+reconstruction (see _sym_matrix), 2/3 of the Karatsuba complex product's
+MXU work at identical precision.
 
 Two mirrored kernels (Mosaic cannot relayout lanes<->sublanes for free, so
 each single-pass kernel has one "block-permuted" side; the pair composes
@@ -28,13 +31,14 @@ into relayout-free pipelines, the TPU analogue of the reference's cheap
       convolution-style roundtrip with zero reordering passes anywhere.
 
 Natural-order output for N >= 256 ("ordered") is kernel A with the
-revblock -> natural relayout done *in-kernel* (emit_fft ordered=True) —
-the four-step algorithm's digit-swap absorbed before the single HBM
-store, the analogue of the reference's in-kernel reorder network
-(FFT-GPU-32bit.cu:54-329, README.md:33-36).  For N <= 128 every transform
-fits in one lane row (128/N packed per row for N < 128, mirroring the
-reference's 4x32 / 2x64 per-block packing, FFT-GPU-32bit.cu:588-595) and
-output is natural for free.
+revblock -> natural relayout done *in-kernel* (digit_swap_merge: a
+sublane stack + leading reshape bracketed by 2D transposes, cost
+independent of C) before the single HBM store — the analogue of the
+reference's in-kernel reorder network (FFT-GPU-32bit.cu:54-329,
+README.md:33-36).  For N <= 128 every transform fits in one lane row
+(128/N packed per row for N < 128, mirroring the reference's 4x32 / 2x64
+per-block packing, FFT-GPU-32bit.cu:588-595) and output is natural for
+free.
 """
 
 from __future__ import annotations
@@ -121,23 +125,66 @@ def _np_split_bf16(m):
     return hi, lo
 
 
+# MXU pass schemes for the fp32 lane matmul:
+#   "highest" — lax.Precision.HIGHEST (6 bf16 passes, ~fp32-exact); the
+#               numpy-grade default.
+#   "high"    — alias of "highest" in the Pallas path (kept as a named
+#               mode because its contract — meets the reference's 1e-4
+#               verification gate, FFT.c:12 — is looser; a faster scheme
+#               may take this slot later).
+#   "fast"    — manual bf16x3: 2-way splits, hh + hl + lh; rel err
+#               ~2^-17 (fast-math class, ~2x "highest" MXU throughput;
+#               outside the 1e-4 gate at N >= 2048 — benchmark/throughput
+#               mode, matching what the reference's fast-math would be).
+#   "default" — single bf16 pass (unusable accuracy; parity knob).
+#
+# The lane DFT itself uses the MIRROR SYMMETRY of the DFT matrix instead
+# of the 3-mult Karatsuba complex product (for n >= 128): with
+# G = C + iS, C[:, 128-k] = C[:, k] and S[:, 128-k] = -S[:, k], and
+# S[:, 0] = S[:, 64] = 0 — so the 65 unique C columns and 63 unique
+# nonzero S columns pack EXACTLY into one 128x128 matrix M.  The complex
+# DFT then costs TWO real dots (xr@M, xi@M) plus a cheap lane/sublane
+# mirror reconstruction, vs Karatsuba's three — a 1.5x MXU saving at
+# identical precision.
+_SPLIT2 = ("fast", "high4")  # "high4": deprecated alias (x4 pass scheme)
+
+
+def _sym_matrix(n: int, inverse: bool):
+    """The packed symmetric lane-DFT matrix.
+
+    For the 128-point lane transform: M = [C(:,0..64) | S(:,1..63)] —
+    65 unique cosine columns + 63 unique nonzero sine columns = exactly
+    128.  For kron-packed sub-128 transforms (block size nb = n < 128,
+    p = 128/nb blocks) the same packing applies per block:
+    M = I_p (x) [C_nb(:,0..nb/2) | S_nb(:,1..nb/2-1)] — per-block counts
+    (nb/2+1) + (nb/2-1) = nb, so the packed matrix is always 128x128."""
+    sign = +1.0 if inverse else -1.0
+    nb = min(n, LANES)
+    c_b, s_b = _dftmat(nb, sign)
+    half = nb // 2
+    blk = np.concatenate([c_b[:, :half + 1], s_b[:, 1:half]], axis=1)
+    p = LANES // nb
+    m = np.kron(np.eye(p), blk) if p > 1 else blk
+    return np.ascontiguousarray(m, np.float32)
+
+
 def const_arrays(n: int, inverse: bool, precision: str = "highest"):
     """Constant tables (numpy, so they stay trace-time constants and are
-    safe to close over in cached builders): the (C, 128) main twiddle and
-    the lane DFT matrices (with g_sum = g_re + g_im precomputed for the
-    3-mult complex matmul).  Plane-DFT twiddles are python scalars baked
-    into the kernel body.  For precision="high" the lane matrices are
-    additionally passed as pre-split bf16 (hi, lo) pairs."""
-    _, _, t_re, t_im, g_re, g_im = _tables(n, inverse)
-    base = [t_re, t_im, g_re, g_im, g_re + g_im]
-    if precision == "high":
-        for m in (g_re, g_im, g_re + g_im):
-            base.extend(_np_split_bf16(m))
+    safe to close over in cached builders).
+
+    Layout (symmetry-packed scheme, all sizes):
+      [t_re, t_im, M]  (+ M_hi, M_lo bf16 splits for "fast")
+    """
+    _, _, t_re, t_im, _, _ = _tables(n, inverse)
+    m = _sym_matrix(n, inverse)
+    base = [t_re, t_im, m]
+    if precision in _SPLIT2:
+        base.extend(_np_split_bf16(m))
     return tuple(base)
 
 
 def n_consts(n: int, precision: str = "highest") -> int:
-    return 11 if precision == "high" else 5
+    return 5 if precision in _SPLIT2 else 3
 
 
 def read_consts(refs):
@@ -158,35 +205,74 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _dot_x3(x, w_pair, dims):
-    """3-pass bf16 dot (x_hi*w_hi + x_hi*w_lo + x_lo*w_hi, fp32 accum)
-    with the constant side pre-split — the manual lax.Precision.HIGH
-    (Mosaic rejects the enum) at ~2x the throughput of "highest"."""
-    wh, wl = w_pair
-    xh, xl = _split_bf16(x)
-    dot = lambda a, b: jax.lax.dot_general(
+def _bdot(a, b, dims):
+    return jax.lax.dot_general(
         a, b, dimension_numbers=dims,
         precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32)
-    return dot(xh, wh) + (dot(xh, wl) + dot(xl, wh))
 
 
-def _cdot(ar, ai, br, bi, bs, dims, precision, split_consts=None):
-    """3-mult complex dot_general of planar (ar, ai) with planar constant
-    (br, bi); bs = br + bi.  For precision="high", split_consts carries
-    the pre-split bf16 (hi, lo) pairs of (br, bi, bs)."""
-    if precision == "high" and split_consts is not None:
-        t1 = _dot_x3(ar, split_consts[0], dims)
-        t2 = _dot_x3(ai, split_consts[1], dims)
-        t3 = _dot_x3(ar + ai, split_consts[2], dims)
-        return t1 - t2, t3 - t1 - t2
-    dot = lambda x, w: jax.lax.dot_general(
-        x, w, dimension_numbers=dims, precision=_PREC[precision],
-        preferred_element_type=jnp.float32)
-    t1 = dot(ar, br)
-    t2 = dot(ai, bi)
-    t3 = dot(ar + ai, bs)
-    return t1 - t2, t3 - t1 - t2
+def _dot_x3s(x, w_pair, dims, x4: bool = False):
+    """Manual bf16x3 dot with the constant side pre-split (x4=True adds
+    the lo*lo term — 4 passes)."""
+    wh, wl = w_pair
+    xh, xl = _split_bf16(x)
+    out = _bdot(xh, wh, dims) + (_bdot(xh, wl, dims)
+                                 + _bdot(xl, wh, dims))
+    if x4:
+        out = out + _bdot(xl, wl, dims)
+    return out
+
+
+def _sym_dot(x, m, m_splits, precision):
+    """One real dot against the packed symmetric matrix M: (T, 128)."""
+    dims = (((1,), (0,)), ((), ()))
+    if precision in _SPLIT2 and m_splits is not None:
+        return _dot_x3s(x, m_splits, dims, x4=precision == "high4")
+    enum = _PREC.get(precision, jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(x, m, dimension_numbers=dims, precision=enum,
+                               preferred_element_type=jnp.float32)
+
+
+def _sym_recon(p_r, p_i, nb: int = LANES):
+    """Reconstruct (Xr, Xi) (T, 128) from packed products
+    P_r = xr@M, P_i = xi@M using the mirror structure (block size nb,
+    per-block frequency j = lane % nb, half = nb/2):
+      (x@C)[k] = P[blk + min(j, nb-j)]
+      (x@S)[k] = sign(j) * P[blk + half + (min(j, nb-j) % half)]
+    with sign = 0 at j in {0, half}, +1 for j<half, -1 for j>half.
+    Then Xr = x_r@C - x_i@S, Xi = x_r@S + x_i@C."""
+    shape = p_r.shape
+    half = nb // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    j = lane % nb if nb < LANES else lane
+    blk = lane - j
+    min_j = jnp.minimum(j, nb - j)
+    idx_c = blk + min_j
+    idx_s = blk + half + (min_j % half)
+    sign = jnp.where((j == 0) | (j == half), 0.0,
+                     jnp.where(j < half, 1.0, -1.0))
+    c_r = jnp.take_along_axis(p_r, idx_c, axis=-1)
+    c_i = jnp.take_along_axis(p_i, idx_c, axis=-1)
+    s_r = sign * jnp.take_along_axis(p_r, idx_s, axis=-1)
+    s_i = sign * jnp.take_along_axis(p_i, idx_s, axis=-1)
+    return c_r - s_i, s_r + c_i
+
+
+def flip_lanes(v):
+    """Lane-axis reversal out[..., j] = v[..., 127-j] via a within-tile
+    gather (lax.rev is not lowerable by Mosaic; take_along_axis is)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    return jnp.take_along_axis(v, (LANES - 1) - lane, axis=-1)
+
+
+def _lane_dft(ar, ai, m, m_splits, precision, nb: int = LANES):
+    """The full symmetric-packed complex lane DFT: two real dots plus
+    mirror reconstruction (replaces the 3-dot Karatsuba complex product;
+    2/3 the MXU work at identical per-dot precision)."""
+    p_r = _sym_dot(ar, m, m_splits, precision)
+    p_i = _sym_dot(ai, m, m_splits, precision)
+    return _sym_recon(p_r, p_i, nb)
 
 
 def _cmul_scalar(re, im, wr: float, wi: float):
@@ -277,39 +363,27 @@ def _cat_lanes(chunks):
     return jnp.concatenate(chunks, axis=-1) if len(chunks) > 1 else chunks[0]
 
 
-def _riffle(a, b):
-    """Elementwise interleave of two equal-width streams: out[2k] = a[k],
-    out[2k+1] = b[k].  Width must be a multiple of 128; every gather stays
-    within one 128-lane tile (cross-tile gathers are unsupported)."""
-    t_rows, m = a.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (t_rows, LANES), 1)
-    even = (lane % 2) == 0
-    idx_lo = lane // 2
-    idx_hi = 64 + lane // 2
-    out = []
-    for t in range(m // LANES):
-        at = a[:, t * LANES:(t + 1) * LANES]
-        bt = b[:, t * LANES:(t + 1) * LANES]
-        out.append(jnp.where(even, jnp.take_along_axis(at, idx_lo, axis=-1),
-                             jnp.take_along_axis(bt, idx_lo, axis=-1)))
-        out.append(jnp.where(even, jnp.take_along_axis(at, idx_hi, axis=-1),
-                             jnp.take_along_axis(bt, idx_hi, axis=-1)))
-    return jnp.concatenate(out, axis=-1)
+def digit_swap_split(x, c):
+    """Inverse of digit_swap_merge: natural (T, c*128) -> c revblock
+    chunks, chunks[k2][t, k1] = x[t, k1*c + k2].  One 2D transpose, a
+    leading-dim split, and c small transposes back."""
+    t = x.shape[0]
+    xt = jnp.transpose(x).reshape(LANES, c, t)
+    return [jnp.transpose(xt[:, k2, :]) for k2 in range(c)]
 
 
-def _riffle_merge(streams):
-    """Merge c equal-width streams into their cyclic element interleave:
-    out[i] = streams[i % c][i // c] — the revblock -> natural relayout
-    (out[k1*c+k2] = chunk k2 at lane k1) done with VPU shuffles in
-    ~3*log2(c) ops/point, replacing a 3.5x-slower XLA transpose epilogue.
-    This is the TPU analogue of the reference's in-kernel bit-reversal
-    reorder (FFT-GPU-32bit.cu:54-329)."""
-    streams = list(streams)
-    while len(streams) > 1:
-        half = len(streams) // 2
-        streams = [_riffle(streams[i], streams[i + half])
-                   for i in range(half)]
-    return streams[0]
+def digit_swap_merge(chunks):
+    """Merge c equal-width (T, 128) streams into natural order
+    out[t, k1*c + k2] = chunks[k2][t, k1] via the transpose unit:
+    per-chunk 2D transpose -> (128, T), sublane stack + leading reshape
+    (relayout-only) -> (c*128, T) whose row p IS element p, one 2D
+    transpose back.  Cost is ~2 transpose passes/point independent of c,
+    vs ~3*log2(c) gather ops/point for the riffle."""
+    c = len(chunks)
+    t = chunks[0].shape[0]
+    zt = [jnp.transpose(ch) for ch in chunks]
+    r = jnp.stack(zt, axis=1).reshape(c * LANES, t)
+    return jnp.transpose(r)
 
 
 def emit_fft(xr, xi, consts, *, n: int, inverse: bool = False,
@@ -325,21 +399,19 @@ def emit_fft(xr, xi, consts, *, n: int, inverse: bool = False,
       (o_re, o_im): (T, n_row) values; lane-chunk k2 holds X[k1*C + k2]
       at lane k1 ("revblock"; natural order already for N <= 128).
     """
-    t_re, t_im, g_re, g_im, g_sum = consts[:5]
-    split_consts = (tuple((consts[5 + 2 * i], consts[6 + 2 * i])
-                          for i in range(3)) if len(consts) > 5 else None)
     tile_t = xr.shape[0]
     c = max(1, n // LANES)
     sign = +1.0 if inverse else -1.0
-    dims2 = (((1,), (0,)), ((), ()))
 
     if _ABLATE == "copy_only":
         return xr, xi
+    t_re, t_im, m = consts[:3]
+    m_splits = (consts[3], consts[4]) if len(consts) > 3 else None
     if c == 1:
-        # single-chunk transforms are natural-ordered already
-        o_re, o_im = _cdot(xr, xi, g_re, g_im, g_sum, dims2, precision,
-                           split_consts)
-        return o_re, o_im
+        # single-chunk transforms (incl. kron-packed n < 128) are
+        # natural-ordered already
+        return _lane_dft(xr, xi, m, m_splits, precision,
+                         nb=min(n, LANES))
 
     # sublane DFT_C over the lane-chunk axis n2 -> k2 (VPU recursive DIT
     # on chunk lists — leading-dim ops only, no transposes anywhere)
@@ -358,15 +430,17 @@ def emit_fft(xr, xi, consts, *, n: int, inverse: bool = False,
     if _ABLATE == "no_matmul":
         o_re, o_im = a_re, a_im
     else:
-        # lane DFT_128: (c*T, n1) x G (n1, k1) -> (c*T, k1)
-        o_re, o_im = _cdot(a_re, a_im, g_re, g_im, g_sum, dims2, precision,
-                           split_consts)
+        # lane DFT_128: (c*T, n1) x M -> packed products -> reconstruct
+        o_re, o_im = _lane_dft(a_re, a_im, m, m_splits, precision)
     # rows back to lane chunks: chunk k2 = rows [k2*T, (k2+1)*T)
     out_r = [o_re[k2 * tile_t:(k2 + 1) * tile_t, :] for k2 in range(c)]
     out_i = [o_im[k2 * tile_t:(k2 + 1) * tile_t, :] for k2 in range(c)]
     if ordered:
-        # natural order in-kernel: out[k1*c + k2] = chunk[k2][k1]
-        return _riffle_merge(out_r), _riffle_merge(out_i)
+        # natural order in-kernel via the digit-swap merge: sublane stack
+        # + leading reshape (relayout-only) bracketed by 2D transposes —
+        # cost independent of c, replacing the reference's reorder
+        # network cost model (FFT-GPU-32bit.cu:54-329)
+        return digit_swap_merge(out_r), digit_swap_merge(out_i)
     return _cat_lanes(out_r), _cat_lanes(out_i)
 
 
@@ -380,23 +454,20 @@ def emit_fft_rev(xr, xi, consts, *, n: int, inverse: bool = False,
     emit_fft's forward — FFT-shift-free convolution pipelines use exactly
     this pair (the reference's fft_reorder=0 use case, README.md:30-33).
     """
-    t_re, t_im, g_re, g_im, g_sum = consts[:5]
-    split_consts = (tuple((consts[5 + 2 * i], consts[6 + 2 * i])
-                          for i in range(3)) if len(consts) > 5 else None)
     tile_t = xr.shape[0]
     c = max(1, n // LANES)
     sign = +1.0 if inverse else -1.0
-    dims2 = (((1,), (0,)), ((), ()))
 
+    t_re, t_im, m = consts[:3]
+    m_splits = (consts[3], consts[4]) if len(consts) > 3 else None
     if c == 1:
-        return _cdot(xr, xi, g_re, g_im, g_sum, dims2, precision,
-                     split_consts)
+        return _lane_dft(xr, xi, m, m_splits, precision,
+                         nb=min(n, LANES))
 
     # lane DFT first: contract j1 -> m1 on all chunks folded into rows
     a_re = jnp.concatenate(_chunks(xr, c), axis=0)
     a_im = jnp.concatenate(_chunks(xi, c), axis=0)
-    s_re, s_im = _cdot(a_re, a_im, g_re, g_im, g_sum, dims2, precision,
-                       split_consts)
+    s_re, s_im = _lane_dft(a_re, a_im, m, m_splits, precision)
     pre = [s_re[j * tile_t:(j + 1) * tile_t, :] for j in range(c)]
     pim = [s_im[j * tile_t:(j + 1) * tile_t, :] for j in range(c)]
     # twiddle w_N^{j2*m1} per chunk
@@ -420,7 +491,7 @@ def emit_fft_rev(xr, xi, consts, *, n: int, inverse: bool = False,
 # per-grid-step overhead until the kernel's VMEM frame OOMs the
 # scoped budget.
 _TUNED_TILES = {32: 1024, 64: 4096, 128: 4096, 256: 2048, 512: 256,
-                1024: 256, 2048: 64, 4096: 128}
+                1024: 512, 2048: 64, 4096: 128}
 
 
 def default_tile(n: int) -> int:

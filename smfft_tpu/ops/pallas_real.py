@@ -8,11 +8,12 @@ twiddles (:289-328); element 0 packs (DC, Nyquist) into one complex slot
 (:332-340); the C2R inverse is unnormalized — it returns (N/2)*x
 (cf. FFT.c:170-171).
 
-v1 structure: the hot half-size C2C runs in the fused Pallas kernel; the
-pack (even/odd deinterleave) and split/merge recombination are XLA
-elementwise/roll passes around it.  (A planned optimization folds the
-mirror Z[(L-k) mod L] into a second lane matmul and the deinterleave into
-within-tile gathers, making R2C a single fused kernel.)
+Two implementations: a compositional path for small sizes (half-size C2C
+via the Pallas core with XLA pack/recombine around it) and, for n >= 256,
+fully-fused single-pass kernels (_build_rfft / _build_irfft) where the
+even/odd (de)interleave, the symmetry-packed half-size lane DFT (two real
+dots), the mirror spectrum (a chunk permutation + lane flip — zero MXU
+work), and the split/merge recombination all happen in one VMEM pass.
 """
 
 from __future__ import annotations
@@ -93,13 +94,11 @@ def irfft_pallas(spec: jnp.ndarray, n: int, precision: str = "highest",
 # core, and the split recombination all in one VMEM pass.
 #
 # The split X[k] = 1/2(1 - iW^k) Z[k] + 1/2(1 + iW^k) conj(Z[(L-k) mod L])
-# needs the lane-reversed spectrum Z[(L-k) mod L]; lane reversal is not a
-# Mosaic primitive, so it is *folded into a second lane matmul* with a
-# column-reversed DFT matrix (the MXU doubles as the permutation network),
-# with the one off-by-one plane (k2=0) fixed by a lane roll.  The P/Q
-# recombination tables are VPU elementwise.  This replaces the reference's
-# post-core H1/H2 loop (SMFFT_Stockham_R2C_C2R/FFT-GPU-32bit-Stockham.cu:
-# 289-340) with matmul-folded algebra.
+# needs the mirrored spectrum Z[(L-k) mod L]; in revblock layout that is a
+# chunk permutation (free trace-time list indexing) plus one lane flip
+# (within-tile gather) of Z — no extra MXU work.  The P/Q recombination
+# tables are VPU elementwise.  This replaces the reference's post-core
+# H1/H2 loop (SMFFT_Stockham_R2C_C2R/FFT-GPU-32bit-Stockham.cu:289-340).
 # ---------------------------------------------------------------------------
 
 import functools
@@ -108,19 +107,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from smfft_tpu.ops.pallas_c2c import (
-    LANES, _cdot, _plane_dft_list, _tables, default_tile)
+    LANES, _SPLIT2, _lane_dft, _np_split_bf16, _plane_dft_list,
+    _sym_matrix, _tables, default_tile, digit_swap_merge,
+    digit_swap_split, flip_lanes)
 from smfft_tpu.ops import pallas_c2c as _pc
 
 
-def _rfft_tables(n: int):
-    """Constant tables for the fused r2c kernel of real length n."""
+def _rfft_tables(n: int, precision: str = "highest"):
+    """Constant tables for the fused r2c kernel of real length n.
+
+    The half-size C2C lane DFT uses the symmetry-packed matrix M (two real
+    dots, see pallas_c2c).  No mirror-DFT matrices are needed at all: the
+    mirrored spectrum conj-side operand Z[(L-k) mod L] is a chunk
+    permutation (free) plus one lane flip of Z — the column-reversed
+    matmul x@Grev equals lane-flip(x@G), so the reference's second
+    post-process operand (FFT-GPU-32bit-Stockham.cu:289-328) costs no MXU
+    work here."""
     L = n // 2
     c = L // LANES
-    # half-size c2c tables (forward): twiddle (c,128) and G (128,128)
-    _, _, t_re, t_im, g_re, g_im = _tables(L, inverse=False)
-    # column-reversed G: Grev[n1, k1] = G[n1, 127 - k1]
-    gr_re = g_re[:, ::-1].copy()
-    gr_im = g_im[:, ::-1].copy()
+    # half-size c2c tables (forward): twiddle (c,128) and packed M
+    _, _, t_re, t_im, _, _ = _tables(L, inverse=False)
+    m = _sym_matrix(L, inverse=False)
     # P/Q recombination tables in revblock layout: index [k2, k1],
     # k = k1*c + k2, P = (1 - i W^k)/2, Q = (1 + i W^k)/2, W = e^{-2pi i/n}
     k1 = np.arange(LANES, dtype=np.float64)[None, :]
@@ -131,10 +138,12 @@ def _rfft_tables(n: int):
     # iW = i(w_re + i w_im) = -w_im + i w_re
     p_re, p_im = (1.0 + w_im) * 0.5, -0.5 * w_re
     q_re, q_im = (1.0 - w_im) * 0.5, +0.5 * w_re
-    f32 = lambda m: np.ascontiguousarray(m, np.float32)
-    return tuple(map(f32, (t_re, t_im, g_re, g_im, g_re + g_im,
-                           gr_re, gr_im, gr_re + gr_im,
-                           p_re, p_im, q_re, q_im)))
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)
+    base = [f32(t_re), f32(t_im), m]
+    if precision in _SPLIT2:
+        base.extend(_np_split_bf16(m))
+    base.extend(map(f32, (p_re, p_im, q_re, q_im)))
+    return tuple(base)
 
 
 def _deinterleave(x, rows):
@@ -175,13 +184,16 @@ def _build_rfft(plan: P.FFTParams, tile_t: int, precision: str):
     L = n // 2
     c = L // LANES
     assert c >= 1
-    consts = _rfft_tables(n)
+    consts = _rfft_tables(n, precision)
     n_c = len(consts)
+    n_split = 2 if precision in _SPLIT2 else 0
 
     def kernel(*refs):
         x_ref = refs[0]
-        (t_re, t_im, g_re, g_im, g_sum, gr_re, gr_im, gr_sum,
-         p_re, p_im, q_re, q_im) = tuple(r[:] for r in refs[1:1 + n_c])
+        cs = tuple(r[:] for r in refs[1:1 + n_c])
+        t_re, t_im, m = cs[:3]
+        m_splits = (cs[3], cs[4]) if n_split else None
+        p_re, p_im, q_re, q_im = cs[3 + n_split:]
         or_ref, oi_ref = refs[1 + n_c], refs[2 + n_c]
 
         x = x_ref[:]                                  # (tile, n) natural
@@ -202,24 +214,18 @@ def _build_rfft(plan: P.FFTParams, tile_t: int, precision: str):
                 tr, ti = t_re[k2, :], t_im[k2, :]
                 s_r[k2], s_i[k2] = (s_r[k2] * tr - s_i[k2] * ti,
                                     s_r[k2] * ti + s_i[k2] * tr)
-        # normal and mirrored (plane-permuted) chunk stacks, row-folded
-        # for two full-width lane matmuls
-        norm_r = jnp.concatenate(s_r, axis=0)
-        norm_i = jnp.concatenate(s_i, axis=0)
-        mirr_r = jnp.concatenate([s_r[(c - k2) % c] for k2 in range(c)],
-                                 axis=0)
-        mirr_i = jnp.concatenate([s_i[(c - k2) % c] for k2 in range(c)],
-                                 axis=0)
-
-        dims = (((1,), (0,)), ((), ()))
-        zf_r, zf_i = _cdot(norm_r, norm_i, g_re, g_im, g_sum, dims,
-                           precision)
-        rv_r, rv_i = _cdot(mirr_r, mirr_i, gr_re, gr_im, gr_sum, dims,
-                           precision)
+        # ONE symmetry-packed lane DFT (2 real dots); the mirrored
+        # spectrum is recovered with zero MXU work: x@Grev ==
+        # lane-flip(x@G), so rv chunks are a chunk permutation + lane
+        # flip of zf (plus the k2=0 off-by-one roll)
+        zf_r, zf_i = _lane_dft(jnp.concatenate(s_r, axis=0),
+                               jnp.concatenate(s_i, axis=0),
+                               m, m_splits, precision)
         zf_rc = [zf_r[k * tile_t:(k + 1) * tile_t] for k in range(c)]
         zf_ic = [zf_i[k * tile_t:(k + 1) * tile_t] for k in range(c)]
-        rv_rc = [rv_r[k * tile_t:(k + 1) * tile_t] for k in range(c)]
-        rv_ic = [rv_i[k * tile_t:(k + 1) * tile_t] for k in range(c)]
+        flip = flip_lanes
+        rv_rc = [flip(zf_rc[(c - k2) % c]) for k2 in range(c)]
+        rv_ic = [flip(zf_ic[(c - k2) % c]) for k2 in range(c)]
         # chunk k2=0 of the mirror needs Z[(128-k1)%128] = roll(rev, 1)
         rv_rc[0] = pltpu.roll(rv_rc[0], 1, axis=1)
         rv_ic[0] = pltpu.roll(rv_ic[0], 1, axis=1)
@@ -244,9 +250,8 @@ def _build_rfft(plan: P.FFTParams, tile_t: int, precision: str):
             out_r.append(xr_)
             out_i.append(xi_)
         if ordered and c > 1:
-            from smfft_tpu.ops.pallas_c2c import _riffle_merge
-            or_ref[:] = _riffle_merge(out_r)
-            oi_ref[:] = _riffle_merge(out_i)
+            or_ref[:] = digit_swap_merge(out_r)
+            oi_ref[:] = digit_swap_merge(out_i)
         else:
             or_ref[:] = (jnp.concatenate(out_r, axis=-1)
                          if c > 1 else out_r[0])
@@ -340,11 +345,18 @@ def rfft_pallas_fused(x: jnp.ndarray, precision: str = "highest",
 # ---------------------------------------------------------------------------
 
 
-def _irfft_tables(n: int):
+def _irfft_tables(n: int, precision: str = "highest"):
+    """Constant tables for the fused c2r kernel.
+
+    The mirror side needs no extra DFT matrices: the row-permuted matmul
+    u @ G[perm, :] equals (lane-permuted u) @ G, so the permutation moves
+    onto the DATA (one lane flip, plus a roll for the k2=0 plane) and the
+    two merge operands share ONE symmetry-packed lane DFT."""
     L = n // 2
     c = L // LANES
     # inverse-direction half-size tables
-    _, _, t_re, t_im, g_re, g_im = _tables(L, inverse=True)
+    _, _, t_re, t_im, _, _ = _tables(L, inverse=True)
+    m = _sym_matrix(L, inverse=True)
     # A/B merge tables in revblock layout [k2, k1], k = k1*c + k2:
     # A = (1 + i W^{-k})/2, B = (1 - i W^{-k})/2, W^{-k} = e^{+2pi i k/n}
     k1 = np.arange(LANES, dtype=np.float64)[None, :]
@@ -355,23 +367,12 @@ def _irfft_tables(n: int):
     # iW^{-k} = -wi_im + i wi_re
     a_re, a_im = (1.0 - wi_im) * 0.5, +0.5 * wi_re
     b_re, b_im = (1.0 + wi_im) * 0.5, -0.5 * wi_re
-    # mirror lane permutations p(b): plane >= 1: 127-b; plane 0: (128-b)%128
-    p1 = np.arange(LANES)[::-1]
-    p0 = (LANES - np.arange(LANES)) % LANES
-    gp1_re, gp1_im = g_re[p1, :], g_im[p1, :]
-    gp0_re, gp0_im = g_re[p0, :], g_im[p0, :]
-    # B tables permuted per plane: row k2 uses p0 for k2==0 else p1
-    bp_re = np.empty_like(b_re)
-    bp_im = np.empty_like(b_im)
-    bp_re[0], bp_im[0] = b_re[0][p0], b_im[0][p0]
-    if c > 1:
-        bp_re[1:], bp_im[1:] = b_re[1:][:, p1], b_im[1:][:, p1]
-    f32 = lambda m: np.ascontiguousarray(m, np.float32)
-    return tuple(map(f32, (
-        t_re, t_im, g_re, g_im, g_re + g_im,
-        gp1_re, gp1_im, gp1_re + gp1_im,
-        gp0_re, gp0_im, gp0_re + gp0_im,
-        a_re, a_im, bp_re, bp_im)))
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)
+    base = [f32(t_re), f32(t_im), m]
+    if precision in _SPLIT2:
+        base.extend(_np_split_bf16(m))
+    base.extend(map(f32, (a_re, a_im, b_re, b_im)))
+    return tuple(base)
 
 
 def _interleave(z_re, z_im, rows):
@@ -390,33 +391,40 @@ def _interleave(z_re, z_im, rows):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_irfft(plan: P.FFTParams, tile_t: int, precision: str):
-    """Fused C2R kernel: packed revblock spectrum (rows, L) planar ->
-    natural real (rows, n), scaled by L.  Specialized on the static c2r
-    :class:`FFTParams` plan."""
+def _build_irfft(plan: P.FFTParams, tile_t: int, precision: str,
+                 in_natural: bool = False):
+    """Fused C2R kernel: packed spectrum (rows, L) planar -> natural real
+    (rows, n), scaled by L.  Specialized on the static c2r
+    :class:`FFTParams` plan.  in_natural=True accepts the packed spectrum
+    in NATURAL order and converts to revblock in-kernel (digit_swap_split)
+    — no XLA relayout pass."""
     n = plan.n
     L = n // 2
     c = L // LANES
     assert c >= 1
-    consts = _irfft_tables(n)
+    consts = _irfft_tables(n, precision)
     n_c = len(consts)
+    n_split = 2 if precision in _SPLIT2 else 0
 
     def kernel(*refs):
         xr_ref, xi_ref = refs[0], refs[1]
-        (t_re, t_im, g_re, g_im, g_sum,
-         gp1_re, gp1_im, gp1_sum, gp0_re, gp0_im, gp0_sum,
-         a_re, a_im, bp_re, bp_im) = tuple(
-            r[:] for r in refs[2:2 + n_c])
+        cs = tuple(r[:] for r in refs[2:2 + n_c])
+        t_re, t_im, m = cs[:3]
+        m_splits = (cs[3], cs[4]) if n_split else None
+        a_re, a_im, b_re, b_im = cs[3 + n_split:]
         o_ref = refs[2 + n_c]
 
-        x_r, x_i = xr_ref[:], xi_ref[:]        # (tile, L) revblock packed
-        lane = jax.lax.broadcasted_iota(jnp.int32, x_r.shape, 1)
-        at0 = lane == 0                        # slot k=0 lives in chunk 0
-
+        x_r, x_i = xr_ref[:], xi_ref[:]        # (tile, L) packed spectrum
+        if in_natural and c > 1:
+            # natural -> revblock conversion in-kernel (no HBM relayout)
+            rc = digit_swap_split(x_r, c)
+            ic = digit_swap_split(x_i, c)
+            xc = list(zip(rc, ic))
+        else:
+            xc = [ (x_r[:, j*LANES:(j+1)*LANES],
+                    x_i[:, j*LANES:(j+1)*LANES]) for j in range(c)]
         # term-1 operand: A*X, with slot 0 replaced by the true
         # Z[0] = (DC+Nyq)/2 + i(DC-Nyq)/2  (X[0] packs (DC, Nyq))
-        xc = [ (x_r[:, j*LANES:(j+1)*LANES], x_i[:, j*LANES:(j+1)*LANES])
-               for j in range(c)]
         u1_r, u1_i = [], []
         for k2 in range(c):
             ar_, ai_ = a_re[k2, :], a_im[k2, :]
@@ -430,15 +438,24 @@ def _build_irfft(plan: P.FFTParams, tile_t: int, precision: str):
             u1_r.append(tr)
             u1_i.append(ti)
 
-        # term-2 operand: Bperm * conj(X[mirror-plane]), slot 0 zeroed
-        # (its contribution is already carried in u1's slot-0 fix)
+        # term-2 operand: B * perm(conj(X[mirror-plane])), slot 0 zeroed
+        # (its contribution is already carried in u1's slot-0 fix).  The
+        # row-permuted matmuls of the old formulation moved onto the
+        # DATA: u @ G[perm,:] == (lane-permuted u) @ G, so both merge
+        # operands share ONE lane DFT below (2 real dots total vs the
+        # previous 9).
+        flip = flip_lanes
         u2_r, u2_i = [], []
         for k2 in range(c):
-            br_, bi_ = bp_re[k2, :], bp_im[k2, :]
             vr, vi = xc[(c - k2) % c]
-            vi = -vi                            # conj
-            tr = vr * br_ - vi * bi_
-            ti = vr * bi_ + vi * br_
+            pvr, pvi = flip(vr), flip(vi)
+            if k2 == 0:
+                pvr = pltpu.roll(pvr, 1, axis=1)
+                pvi = pltpu.roll(pvi, 1, axis=1)
+            pvi = -pvi                          # conj
+            br_, bi_ = b_re[k2, :], b_im[k2, :]
+            tr = pvr * br_ - pvi * bi_
+            ti = pvr * bi_ + pvi * br_
             if k2 == 0:
                 l0 = jax.lax.broadcasted_iota(jnp.int32, tr.shape, 1) == 0
                 tr = jnp.where(l0, 0.0, tr)
@@ -446,28 +463,17 @@ def _build_irfft(plan: P.FFTParams, tile_t: int, precision: str):
             u2_r.append(tr)
             u2_i.append(ti)
 
-        dims = (((1,), (0,)), ((), ()))
-        # Z @ G_inv = U1 @ G + U2 @ Gp  (mirror folded into row-permuted G)
-        s1_r, s1_i = _cdot(jnp.concatenate(u1_r, axis=0),
-                           jnp.concatenate(u1_i, axis=0),
-                           g_re, g_im, g_sum, dims, precision)
-        if c > 1:
-            s2b_r, s2b_i = _cdot(jnp.concatenate(u2_r[1:], axis=0),
-                                 jnp.concatenate(u2_i[1:], axis=0),
-                                 gp1_re, gp1_im, gp1_sum, dims, precision)
-        s20_r, s20_i = _cdot(u2_r[0], u2_i[0], gp0_re, gp0_im, gp0_sum,
-                             dims, precision)
+        # fold both operands and run ONE symmetry-packed lane DFT
+        op_r = jnp.concatenate([u1_r[j] + u2_r[j] for j in range(c)],
+                               axis=0)
+        op_i = jnp.concatenate([u1_i[j] + u2_i[j] for j in range(c)],
+                               axis=0)
+        s1_r, s1_i = _lane_dft(op_r, op_i, m, m_splits, precision)
 
         pre, pim = [], []
         for j2 in range(c):
-            r1 = s1_r[j2 * tile_t:(j2 + 1) * tile_t]
-            i1 = s1_i[j2 * tile_t:(j2 + 1) * tile_t]
-            if j2 == 0:
-                r2, i2 = s20_r, s20_i
-            else:
-                r2 = s2b_r[(j2 - 1) * tile_t:j2 * tile_t]
-                i2 = s2b_i[(j2 - 1) * tile_t:j2 * tile_t]
-            rr, ii = r1 + r2, i1 + i2
+            rr = s1_r[j2 * tile_t:(j2 + 1) * tile_t]
+            ii = s1_i[j2 * tile_t:(j2 + 1) * tile_t]
             # inverse twiddle w_L^{+j2*m1}
             if c > 1:
                 tr_, ti_ = t_re[j2, :], t_im[j2, :]
@@ -511,10 +517,13 @@ def _build_irfft(plan: P.FFTParams, tile_t: int, precision: str):
 
 def irfft_fused_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
                        precision: str = "highest",
-                       tile_t: int | None = None):
-    """Fused single-pass C2R: packed revblock spectrum planar (B, n/2)
-    pair -> natural real (B, n), scaled by n/2 (reference contract).
-    Pairs with rfft_fused_planar for a relayout-free real roundtrip."""
+                       tile_t: int | None = None,
+                       in_natural: bool = False):
+    """Fused single-pass C2R: packed spectrum planar (B, n/2) pair ->
+    natural real (B, n), scaled by n/2 (reference contract).  The packed
+    spectrum is consumed in revblock layout by default (pairs with
+    rfft_fused_planar for a relayout-free real roundtrip) or in natural
+    order with in_natural=True (converted in-kernel, no relayout pass)."""
     if n < 256 or n not in P.SUPPORTED_REAL_SIZES:
         raise ValueError(f"irfft_fused requires real n in "
                          f"{[s for s in P.SUPPORTED_REAL_SIZES if s >= 256]}")
@@ -531,6 +540,6 @@ def irfft_fused_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
     if b % tile:
         raise ValueError(f"batch {b} not divisible by tile {tile}")
     plan = P.plan_for(n, "inverse", "c2r", True)
-    run = _build_irfft(plan, tile, precision)
+    run = _build_irfft(plan, tile, precision, in_natural)
     out = run(vr.astype(jnp.float32), vi.astype(jnp.float32))
     return out[:rows] if pad else out

@@ -3,7 +3,8 @@
 
 Reproduces the shape of the reference's published table
 (/root/reference/README.md:79-91): one row per FFT size with the
-"multiple" (in-VMEM) and "external" (HBM-bound) paths side by side.
+"multiple" (in-VMEM) and "external" (HBM-bound) paths side by side,
+plus the inverse/ordered/real-transform externals.
 Reads BENCH_DETAILS.json (written by bench.py); pass --run to execute
 bench.py first.
 """
@@ -15,6 +16,12 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
+
+COLS = (("external_gbs", "ext GB/s"), ("inverse_gbs", "inv GB/s"),
+        ("ordered_gbs", "ord GB/s"), ("r2c_gbs", "r2c GB/s"),
+        ("c2r_gbs", "c2r GB/s"), ("external_mffts", "ext MFFT/s"),
+        ("multiple_mffts", "mult MFFT/s"),
+        ("multiple_fast_mffts", "mult[fast] MFFT/s"))
 
 
 def main():
@@ -31,24 +38,26 @@ def main():
 
     print(f"Device: {d.get('device', '?')}  "
           f"(method: {d.get('method', '?')})\n")
-    print("| FFT size | external GB/s | ordered GB/s | external MFFT/s "
-          "| multiple MFFT/s |")
-    print("|---:|---:|---:|---:|---:|")
+    print("| FFT size | " + " | ".join(h for _, h in COLS) + " |")
+    print("|---:|" + "---:|" * len(COLS))
     for n, e in sorted(d["sizes"].items(), key=lambda kv: int(kv[0])):
         if "error" in e and "external_gbs" not in e:
-            print(f"| {n} | error | error | error | error |")
+            print(f"| {n} |" + " error |" * len(COLS))
             continue
-        print(f"| {n} | {e.get('external_gbs', float('nan')):.1f} "
-              f"| {e.get('ordered_gbs', float('nan')):.1f} "
-              f"| {e.get('external_mffts', float('nan')):.1f} "
-              f"| {e.get('multiple_mffts', float('nan')):.1f} |")
+        cells = []
+        for key, _ in COLS:
+            v = e.get(key)
+            cells.append(f"{v:.1f}" if isinstance(v, (int, float))
+                         else "n/a")
+        print(f"| {n} | " + " | ".join(cells) + " |")
     print()
     print(f"geomean external: {d.get('external_geomean_gbs', 0):.1f} GB/s; "
           f"jnp.fft N=1024: {d.get('jnp_fft_n1024_gbs')} GB/s")
-    for prec in ("highest", "high", "default"):
-        k = f"max_abs_err_n1024_{prec}"
-        if k in d:
-            print(f"max abs err N=1024 ({prec}): {d[k]:.3e}")
+    for n in (1024, 4096):
+        for prec in ("highest", "high", "fast", "default"):
+            k = f"max_abs_err_n{n}_{prec}"
+            if k in d:
+                print(f"max abs err N={n} ({prec}): {d[k]:.3e}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""On-TPU Mosaic compilation + correctness smoke test.
+
+The CPU test suite runs the kernels through the Pallas interpreter, which
+accepts some primitives Mosaic cannot lower (e.g. lax.rev) — so a Mosaic
+regression can pass CI silently (VERDICT r1, weak #9).  This script
+compiles and runs every fused kernel family ON THE ATTACHED TPU and
+verifies against numpy.fft in float64:
+
+  c2c forward ordered/unordered + inverse + relayout-free roundtrip,
+  r2c fused, c2r fused, multiple (in-VMEM reuse), every precision mode.
+
+Run via the verify skill each round; commit the PASSED transcript to
+TPU_SMOKE.txt.  Exit code 0 = all pass.
+"""
+
+import sys
+
+import numpy as np
+
+
+def tol(n, prec):
+    base = {"highest": 2e-7, "high": 2e-7, "fast": 4e-6}[prec]
+    return base * n ** 0.75 * 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from smfft_tpu.ops import pallas_c2c as PC
+    from smfft_tpu.ops import pallas_real as PR
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({jax.default_backend()})")
+    if jax.default_backend() != "tpu":
+        print("WARNING: not a TPU — smoke is only meaningful on Mosaic")
+    rng = np.random.default_rng(42)
+    failures = 0
+
+    def check(name, err, bound):
+        nonlocal failures
+        ok = err < bound
+        failures += 0 if ok else 1
+        print(f"{'PASS' if ok else 'FAIL'} {name}: err {err:.3e} "
+              f"(bound {bound:.3e})")
+
+    for prec in ("highest", "fast"):
+        for n in (32, 64, 128, 256, 1024, 4096):
+            x = (rng.random((64, n)) + 1j * rng.random((64, n))
+                 - 0.5 - 0.5j).astype(np.complex64)
+            vr = jnp.array(np.ascontiguousarray(x.real))
+            vi = jnp.array(np.ascontiguousarray(x.imag))
+            ref = np.fft.fft(x.astype(np.complex128))
+            c = max(1, n // 128)
+            ncols = max(n, 128)
+            rows = 64 * n // ncols
+            vr2, vi2 = vr.reshape(rows, ncols), vi.reshape(rows, ncols)
+            # unordered external
+            o_r, o_i = PC.fft_planar(vr2, vi2, n, precision=prec)
+            got = (np.asarray(o_r) + 1j * np.asarray(o_i)).reshape(-1, n)
+            if c > 1:
+                got = got.reshape(-1, c, 128).transpose(0, 2, 1).reshape(
+                    -1, n)
+            check(f"c2c unordered n={n} {prec}",
+                  np.max(np.abs(got - ref)), tol(n, prec))
+            # ordered
+            o_r, o_i = PC.fft_planar(vr2, vi2, n, precision=prec,
+                                     ordered=True)
+            got = (np.asarray(o_r) + 1j * np.asarray(o_i)).reshape(-1, n)
+            check(f"c2c ordered   n={n} {prec}",
+                  np.max(np.abs(got - ref)), tol(n, prec))
+            # inverse + relayout-free roundtrip
+            u_r, u_i = PC.fft_planar(vr2, vi2, n, precision=prec)
+            b_r, b_i = PC.fft_planar(u_r, u_i, n, rev_in=True,
+                                     inverse=True, precision=prec)
+            back = ((np.asarray(b_r) + 1j * np.asarray(b_i)) / n
+                    ).reshape(-1, n)
+            check(f"c2c roundtrip n={n} {prec}",
+                  np.max(np.abs(back - x.reshape(-1, n))),
+                  tol(n, prec))
+            # multiple (reuse) path compiles + runs finite
+            m_r, _ = PC.fft_planar(vr2, vi2, n, precision=prec,
+                                   multiple_iters=3)
+            assert np.all(np.isfinite(np.asarray(m_r))), "multiple NaN"
+        for n in (256, 512, 2048, 8192):
+            xr = (rng.random((64, n)) * 2 - 1).astype(np.float32)
+            spec_ref = np.fft.rfft(xr.astype(np.float64))
+            o_r, o_i = PR.rfft_fused_planar(jnp.array(xr), precision=prec)
+            got = np.asarray(o_r) + 1j * np.asarray(o_i)
+            L = n // 2
+            c = L // 128
+            nat = got.reshape(-1, c, 128).transpose(0, 2, 1).reshape(-1, L) \
+                if c > 1 else got
+            full = np.concatenate(
+                [np.real(nat[:, :1]), nat[:, 1:],
+                 np.imag(nat[:, :1])], axis=1)
+            full[:, 0] = np.real(nat[:, 0])
+            check(f"r2c fused     n={n} {prec}",
+                  np.max(np.abs(full - spec_ref)), tol(n, prec))
+            # c2r: revblock packed spectrum -> signal * L
+            back = np.asarray(PR.irfft_fused_planar(o_r, o_i, n,
+                                                    precision=prec)) / L
+            check(f"c2r fused     n={n} {prec}",
+                  np.max(np.abs(back - xr)), tol(n, prec))
+
+    print(f"{'ALL PASSED' if failures == 0 else f'{failures} FAILURES'}")
+    return 0 if failures == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
