@@ -31,14 +31,20 @@ into relayout-free pipelines, the TPU analogue of the reference's cheap
       convolution-style roundtrip with zero reordering passes anywhere.
 
 Natural-order output for N >= 256 ("ordered") is kernel A with the
-revblock -> natural relayout done *in-kernel* (digit_swap_merge: a
-sublane stack + leading reshape bracketed by 2D transposes, cost
-independent of C) before the single HBM store — the analogue of the
-reference's in-kernel reorder network (FFT-GPU-32bit.cu:54-329,
-README.md:33-36).  For N <= 128 every transform fits in one lane row
-(128/N packed per row for N < 128, mirroring the reference's 4x32 / 2x64
-per-block packing, FFT-GPU-32bit.cu:588-595) and output is natural for
-free.
+revblock -> natural relayout done *in-kernel* before the single HBM
+store — the analogue of the reference's in-kernel reorder network
+(FFT-GPU-32bit.cu:54-329, README.md:33-36).  The product relayout is
+``tdot_late`` (_emit_ordered_tdot_late): the MXU emits each chunk's
+packed lane-DFT product already TRANSPOSED via reversed dot_general
+dimension numbers (no extra MXU passes), one sublane interleave + one
+wide XLU transpose put the packed products into the natural lane
+domain, and the mirror reconstruction runs last as per-tile slices,
+adds, and a within-tile static gather.  That is one full relayout pass
+fewer than transpose-stack-transpose ("swap", kept for pallas_real and
+as a fallback), worth ~10-15% end-to-end on v5e.  For N <= 128 every
+transform fits in one lane row (128/N packed per row for N < 128,
+mirroring the reference's 4x32 / 2x64 per-block packing,
+FFT-GPU-32bit.cu:588-595) and output is natural for free.
 """
 
 from __future__ import annotations
@@ -66,6 +72,28 @@ _NO_COST = False
 # Perf-ablation hook (debug only): "" normal; "no_plane" skips the sublane
 # DFT; "no_twiddle" skips the main twiddle; "copy_only" skips everything.
 _ABLATE = ""
+
+# Ordered-merge implementation switch (debug/tuning; product = "tdot_late").
+#   "tdot_late"    PRODUCT PATH: MXU emits transposed packed products
+#                  (reversed dot_general dims, same 2 packed dots as the
+#                  unordered path), one sublane interleave + one wide
+#                  transpose, mirror reconstruction LAST in the natural
+#                  lane domain (slices/adds + within-tile static gather).
+#                  Device-measured ~500 GB/s at N>=1024 vs ~453 for
+#                  "swap" (tools/tune*.py, v5e).
+#   "swap"         digit_swap_merge (transposes + sublane stack)
+#   "concat_probe" transposes + plain concat — WRONG RESULT, isolates the
+#                  row-interleave (stack) cost from the transpose cost
+#   "nostack_probe" stack+interleave only, no transposes — WRONG RESULT,
+#                  isolates the transpose cost
+#   "mxu_small"    small per-chunk transposes on the MXU (exact 2-pass
+#                  bf16 split against identity), big transpose on the XLU
+#   "tdot4"        lane DFT emitted TRANSPOSED by the MXU (reversed
+#                  dot_general dims, unpacked C/S matrices, 4 dots) —
+#                  no per-chunk transposes at all
+#   "tdot_sym"     packed-matrix transposed dots (2) + sublane-axis
+#                  mirror reconstruction
+_MERGE = "tdot_late"
 
 # Interpret mode runs the kernels through the Pallas interpreter (any
 # backend, incl. CPU) — used by the test suite; real deployments compile
@@ -174,17 +202,24 @@ def const_arrays(n: int, inverse: bool, precision: str = "highest"):
 
     Layout (symmetry-packed scheme, all sizes):
       [t_re, t_im, M]  (+ M_hi, M_lo bf16 splits for "fast")
+      (+ G_re, G_im unpacked DFT matrices when the tdot4 merge probe is
+       active)
     """
-    _, _, t_re, t_im, _, _ = _tables(n, inverse)
+    _, _, t_re, t_im, g_re, g_im = _tables(n, inverse)
     m = _sym_matrix(n, inverse)
     base = [t_re, t_im, m]
     if precision in _SPLIT2:
         base.extend(_np_split_bf16(m))
+    if _MERGE == "tdot4":
+        base.extend([g_re, g_im])
     return tuple(base)
 
 
 def n_consts(n: int, precision: str = "highest") -> int:
-    return 5 if precision in _SPLIT2 else 3
+    nc = 5 if precision in _SPLIT2 else 3
+    if _MERGE == "tdot4":
+        nc += 2
+    return nc
 
 
 def read_consts(refs):
@@ -372,6 +407,21 @@ def digit_swap_split(x, c):
     return [jnp.transpose(xt[:, k2, :]) for k2 in range(c)]
 
 
+def _mxu_transpose(x):
+    """Exact fp32 transpose on the MXU: split x into a bf16 (hi, lo) pair
+    and contract each against the fp32 identity over the leading dim
+    (two bf16 passes; exact because I is exactly representable)."""
+    t = x.shape[0]
+    eye = jnp.eye(t, dtype=jnp.bfloat16)
+    dims = (((0,), (0,)), ((), ()))
+    xh = x.astype(jnp.bfloat16)
+    r1 = x - xh.astype(jnp.float32)
+    xm = r1.astype(jnp.bfloat16)
+    xl = (r1 - xm.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (_bdot(xh, eye, dims) + _bdot(xm, eye, dims)
+            + _bdot(xl, eye, dims))
+
+
 def digit_swap_merge(chunks):
     """Merge c equal-width (T, 128) streams into natural order
     out[t, k1*c + k2] = chunks[k2][t, k1] via the transpose unit:
@@ -381,9 +431,176 @@ def digit_swap_merge(chunks):
     vs ~3*log2(c) gather ops/point for the riffle."""
     c = len(chunks)
     t = chunks[0].shape[0]
-    zt = [jnp.transpose(ch) for ch in chunks]
-    r = jnp.stack(zt, axis=1).reshape(c * LANES, t)
+    if _MERGE == "nostack_probe":
+        # WRONG RESULT (perf probe): stack + big transpose without the
+        # per-chunk transposes; requires square tiles so shapes line up
+        assert t == LANES, "nostack_probe needs tile_t == 128"
+        r = jnp.stack(chunks, axis=1).reshape(c * LANES, t)
+        return jnp.transpose(r)
+    if _MERGE in ("widetrans", "rank3"):
+        big = jnp.transpose(_cat_lanes(chunks))  # (c*128, T), one pass
+        if _MERGE == "rank3":
+            r3 = big.reshape(c, LANES, t)
+            r = jax.lax.transpose(r3, (1, 0, 2)).reshape(c * LANES, t)
+        else:
+            zt = [big[k2 * LANES:(k2 + 1) * LANES] for k2 in range(c)]
+            r = jnp.stack(zt, axis=1).reshape(c * LANES, t)
+        return jnp.transpose(r)
+    tr = _mxu_transpose if _MERGE == "mxu_small" else jnp.transpose
+    zt = [tr(ch) for ch in chunks]
+    if _MERGE == "concat_probe":
+        r = jnp.concatenate(zt, axis=0)  # WRONG RESULT (perf probe)
+    else:
+        r = jnp.stack(zt, axis=1).reshape(c * LANES, t)
     return jnp.transpose(r)
+
+
+def _dot_t(g, x, precision, g_splits=None):
+    """Transposed-product dot: (x @ G)^T = (128, T) straight off the MXU
+    via reversed dimension numbers — no relayout pass."""
+    dims = (((0,), (1,)), ((), ()))
+    if precision in _SPLIT2 and g_splits is not None:
+        gh, gl = g_splits
+        xh, xl = _split_bf16(x)
+        return _bdot(gh, xh, dims) + (_bdot(gh, xl, dims)
+                                      + _bdot(gl, xh, dims))
+    enum = _PREC.get(precision, jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(
+        g, x, dimension_numbers=dims,
+        precision=enum, preferred_element_type=jnp.float32)
+
+
+def _sym_recon_rows(p_r, p_i, nb: int = LANES):
+    """_sym_recon with the packed-frequency axis on SUBLANES (axis 0)
+    for (128, T)-shaped transposed products."""
+    shape = p_r.shape
+    half = nb // 2
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    j = row % nb if nb < LANES else row
+    blk = row - j
+    min_j = jnp.minimum(j, nb - j)
+    idx_c = blk + min_j
+    idx_s = blk + half + (min_j % half)
+    sign = jnp.where((j == 0) | (j == half), 0.0,
+                     jnp.where(j < half, 1.0, -1.0))
+    c_r = jnp.take_along_axis(p_r, idx_c, axis=0)
+    c_i = jnp.take_along_axis(p_i, idx_c, axis=0)
+    s_r = sign * jnp.take_along_axis(p_r, idx_s, axis=0)
+    s_i = sign * jnp.take_along_axis(p_i, idx_s, axis=0)
+    return c_r - s_i, s_r + c_i
+
+
+def _emit_ordered_tdot(pre, pim, consts, precision):
+    """Ordered output via MXU-transposed lane DFTs: per twiddled chunk,
+    emit zt[k2] = (chunk-DFT)^T (128, T) directly from the matmul, then
+    one sublane interleave + one wide transpose per plane — the c
+    per-chunk transpose passes vanish."""
+    c = len(pre)
+    if _MERGE == "tdot4":
+        g_re, g_im = consts[-2], consts[-1]
+        zr = [_dot_t(g_re, pre[k], precision)
+              - _dot_t(g_im, pim[k], precision) for k in range(c)]
+        zi = [_dot_t(g_im, pre[k], precision)
+              + _dot_t(g_re, pim[k], precision) for k in range(c)]
+    else:  # tdot_sym
+        m = consts[2]
+        zr, zi = [], []
+        for k in range(c):
+            p_r = _dot_t(m, pre[k], precision)
+            p_i = _dot_t(m, pim[k], precision)
+            o_r, o_i = _sym_recon_rows(p_r, p_i)
+            zr.append(o_r)
+            zi.append(o_i)
+    t = zr[0].shape[1]
+
+    def merge(zs):
+        r = jnp.stack(zs, axis=1).reshape(c * LANES, t)
+        return jnp.transpose(r)
+    return merge(zr), merge(zi)
+
+
+def _emit_ordered_tdot_late(pre, pim, consts, precision):
+    """Natural-order output with LATE mirror reconstruction.
+
+    Per twiddled chunk the MXU emits the TRANSPOSED packed product
+    P^T = (M^T a^T) (128, T) via reversed dot_general dims — same two
+    packed dots per chunk as the unordered path, no extra MXU work and
+    no per-chunk transpose passes.  The packed products are then
+    interleaved (sublane stack) and wide-transposed ONCE into the
+    natural-lane domain (T, c*128) where lane m = p*c + k2 holds packed
+    frequency p of chunk k2.  The mirror reconstruction happens last,
+    per output 128-lane tile j:
+
+      out lane l = k1*c + k2 (k1 = j*q + a, q = 128/c) needs
+        (x@C)[k1] = P[min(k1, 128-k1)]          (cosine half)
+        (x@S)[k1] = sgn * P[64 + min(..) % 64]  (sine half)
+
+      * j <  c/2 (k1 < 64): both are SAME-POSITION lanes of packed
+        tiles j and j + c/2 — pure slices + add/sub, no data movement.
+      * j >= c/2 (k1 >= 64): the mirror makes them a reversed static
+        within-tile gather of tiles (c-1-j) / (c-1-j)+c/2, with the
+        a == 0 lane patched from the next tile's first c lanes.
+
+    Net cost vs the unordered path: ONE sublane interleave + ONE wide
+    transpose + ~1 VPU select/arith pass — one full relayout pass fewer
+    than digit_swap_merge (validated index algebra: tools/ prototypes).
+    """
+    c = len(pre)
+    m = consts[2]
+    m_splits = (consts[3], consts[4]) if len(consts) > 3 else None
+    zq_r = [_dot_t(m, pre[k], precision, m_splits) for k in range(c)]
+    zq_i = [_dot_t(m, pim[k], precision, m_splits) for k in range(c)]
+    t = zq_r[0].shape[1]
+
+    def pack(zs):
+        return jnp.transpose(jnp.stack(zs, axis=1).reshape(c * LANES, t))
+    qr = pack(zq_r)  # (t, c*128): lane p*c + k2 = packed freq p, chunk k2
+    qi = pack(zq_i)
+    return _late_recon(qr, qi, c)
+
+
+def _late_recon(qr, qi, c):
+    """Mirror reconstruction in the merged natural-lane domain; see
+    _emit_ordered_tdot_late.  qr/qi: (T, c*128), lane m = p*c + k2."""
+    t = qr.shape[0]
+    q = LANES // c
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, LANES), 1)
+    aa = lane // c
+    kk2 = lane % c
+    rev = jnp.clip((q - aa) * c + kk2, 0, LANES - 1)
+    a0 = aa == 0
+
+    def tile(z, j):
+        return z[:, j * LANES:(j + 1) * LANES]
+
+    out_r, out_i = [], []
+    for j in range(c):
+        if j < c // 2:
+            c_r, c_i = tile(qr, j), tile(qi, j)
+            s_r, s_i = tile(qr, c // 2 + j), tile(qi, c // 2 + j)
+            if j == 0:  # k1 = 0 lanes: sine part is zero
+                zero = jnp.float32(0.0)
+                s_r = jnp.where(a0, zero, s_r)
+                s_i = jnp.where(a0, zero, s_i)
+            out_r.append(c_r - s_i)
+            out_i.append(s_r + c_i)
+        else:
+            jc, jn = c - 1 - j, min(c - j, c - 1)
+            jcs, jns = jc + c // 2, min(c - j + c // 2, c - 1)
+
+            def mirror(z, ta, tb):
+                g = jnp.take_along_axis(tile(z, ta), rev, axis=1)
+                patch = jnp.take_along_axis(tile(z, tb), kk2, axis=1)
+                return jnp.where(a0, patch, g)
+            c_r, c_i = mirror(qr, jc, jn), mirror(qi, jc, jn)
+            s_r, s_i = mirror(qr, jcs, jns), mirror(qi, jcs, jns)
+            if j == c // 2:  # k1 = 64 lanes: sine part is zero
+                zero = jnp.float32(0.0)
+                s_r = jnp.where(a0, zero, s_r)
+                s_i = jnp.where(a0, zero, s_i)
+            out_r.append(c_r + s_i)   # sign(k1 > 64) = -1
+            out_i.append(c_i - s_r)
+    return _cat_lanes(out_r), _cat_lanes(out_i)
 
 
 def emit_fft(xr, xi, consts, *, n: int, inverse: bool = False,
@@ -424,6 +641,10 @@ def emit_fft(xr, xi, consts, *, n: int, inverse: bool = False,
             tr, ti = t_re[k2, :], t_im[k2, :]
             pre[k2], pim[k2] = (pre[k2] * tr - pim[k2] * ti,
                                 pre[k2] * ti + pim[k2] * tr)
+    if ordered and _MERGE in ("tdot4", "tdot_sym"):
+        return _emit_ordered_tdot(pre, pim, consts, precision)
+    if ordered and _MERGE == "tdot_late":
+        return _emit_ordered_tdot_late(pre, pim, consts, precision)
     # fold chunks into rows (k2-major) for one full-width lane matmul
     a_re = jnp.concatenate(pre, axis=0)
     a_im = jnp.concatenate(pim, axis=0)
@@ -486,16 +707,21 @@ def emit_fft_rev(xr, xi, consts, *, n: int, inverse: bool = False,
 # ---------------------------------------------------------------------------
 
 
-# Per-size batch tiles, tuned on v5e with 2 GB single-dispatch
-# differencing (see .claude/skills/verify).  Larger tiles amortize
-# per-grid-step overhead until the kernel's VMEM frame OOMs the
-# scoped budget.
-_TUNED_TILES = {32: 1024, 64: 4096, 128: 4096, 256: 2048, 512: 256,
-                1024: 512, 2048: 64, 4096: 128}
+# Per-size batch tiles, tuned on v5e with device-side profiler timing
+# (tools/tune*.py; the earlier host-differencing numbers were too noisy
+# to tune against).  Larger tiles amortize per-grid-step overhead until
+# the kernel's VMEM frame blows the scoped budget; the ordered path's
+# relayout prefers different shapes than the pure-stream unordered path.
+_TUNED_TILES = {32: 2048, 64: 2048, 128: 2048, 256: 1024, 512: 1024,
+                1024: 512, 2048: 256, 4096: 256}
+_TUNED_TILES_ORDERED = {256: 1024, 512: 128, 1024: 512, 2048: 128,
+                        4096: 128}
 
 
-def default_tile(n: int) -> int:
+def default_tile(n: int, ordered: bool = False) -> int:
     """Batch-tile rows per grid step (tuned per size on v5e)."""
+    if ordered and n in _TUNED_TILES_ORDERED:
+        return _TUNED_TILES_ORDERED[n]
     if n in _TUNED_TILES:
         return _TUNED_TILES[n]
     c = max(1, n // LANES)
@@ -603,8 +829,9 @@ def _build(plan: P.FFTParams, rev_in: bool, precision: str,
     return run
 
 
-def _pick_tile(b: int, n: int, tile_t: int | None) -> int:
-    tile = tile_t or default_tile(n)
+def _pick_tile(b: int, n: int, tile_t: int | None,
+               ordered: bool = False) -> int:
+    tile = tile_t or default_tile(n, ordered)
     while tile > 8 and b % tile:
         tile //= 2
     if b % tile:
@@ -644,7 +871,7 @@ def fft_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
         plan = P.plan_for(n, "inverse" if inverse else "forward", "c2c",
                           ordered)
     vr, vi, rows = _pad_rows(vr, vi)
-    tile = _pick_tile(vr.shape[0], n, tile_t)
+    tile = _pick_tile(vr.shape[0], n, tile_t, plan.ordered and not rev_in)
     run = _build(plan, rev_in, precision, tile, multiple_iters,
                  scale is not None)
     if scale is not None:

@@ -1,6 +1,9 @@
-"""Cross-cutting utilities: host<->device transfer helpers.
+"""Cross-cutting utilities: host<->device transfer helpers and
+device-side profiler timing.
 
-The analogue of the reference's utils_cuda.h cross-cutting header
-(SURVEY.md §1).  Timing lives in bench.py's single-dispatch differencing
-discipline (the only method that survives the axon tunnel; see
-.claude/skills/verify)."""
+The analogue of the reference's utils_cuda.h / timer.h cross-cutting
+headers (SURVEY.md §1): ``transfer`` moves complex data across the axon
+tunnel's planar-only boundary; ``prof_timing.device_time_ms`` is the
+GpuTimer analogue (on-device program durations from the TPU's own trace
+counters — host wall clocks on the tunnel are 2-3x phase-noisy).
+"""
