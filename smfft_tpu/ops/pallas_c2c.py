@@ -269,14 +269,16 @@ def _sym_dot(x, m, m_splits, precision):
                                preferred_element_type=jnp.float32)
 
 
-def _sym_recon(p_r, p_i, nb: int = LANES):
-    """Reconstruct (Xr, Xi) (T, 128) from packed products
-    P_r = xr@M, P_i = xi@M using the mirror structure (block size nb,
-    per-block frequency j = lane % nb, half = nb/2):
+def _sym_recon_parts(p_r, p_i, nb: int = LANES):
+    """Gathered mirror-recon components (x@C, x@S for both planes) from
+    packed products P_r = xr@M, P_i = xi@M (block size nb, per-block
+    frequency j = lane % nb, half = nb/2):
       (x@C)[k] = P[blk + min(j, nb-j)]
       (x@S)[k] = sign(j) * P[blk + half + (min(j, nb-j) % half)]
     with sign = 0 at j in {0, half}, +1 for j<half, -1 for j>half.
-    Then Xr = x_r@C - x_i@S, Xi = x_r@S + x_i@C."""
+    Because C's columns are mirror-symmetric and S's anti-symmetric,
+    these four components also yield the LANE-MIRRORED spectrum
+    Z[(nb-j) % nb] with zero extra gathers (used by the fused r2c)."""
     shape = p_r.shape
     half = nb // 2
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -291,6 +293,13 @@ def _sym_recon(p_r, p_i, nb: int = LANES):
     c_i = jnp.take_along_axis(p_i, idx_c, axis=-1)
     s_r = sign * jnp.take_along_axis(p_r, idx_s, axis=-1)
     s_i = sign * jnp.take_along_axis(p_i, idx_s, axis=-1)
+    return c_r, c_i, s_r, s_i
+
+
+def _sym_recon(p_r, p_i, nb: int = LANES):
+    """Reconstruct (Xr, Xi) (T, 128) from packed products:
+    Xr = x_r@C - x_i@S, Xi = x_r@S + x_i@C (see _sym_recon_parts)."""
+    c_r, c_i, s_r, s_i = _sym_recon_parts(p_r, p_i, nb)
     return c_r - s_i, s_r + c_i
 
 

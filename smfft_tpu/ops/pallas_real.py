@@ -108,7 +108,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from smfft_tpu.ops.pallas_c2c import (
     LANES, _SPLIT2, _lane_dft, _np_split_bf16, _plane_dft_list,
-    _sym_matrix, _tables, default_tile, digit_swap_merge,
+    _sym_matrix, _tables, digit_swap_merge,
     digit_swap_split, flip_lanes)
 from smfft_tpu.ops import pallas_c2c as _pc
 
@@ -201,9 +201,18 @@ def _build_rfft(plan: P.FFTParams, tile_t: int, precision: str):
         # any rank/row-width change outside the kernel is an HBM copy)
         pre, pim = [], []
         for j in range(c):
-            zr, zi = _deinterleave(x[:, j * 256:(j + 1) * 256], tile_t)
+            if _pc._ABLATE == "no_deint":  # perf probe: wrong result
+                zr = x[:, j * 256:j * 256 + LANES]
+                zi = x[:, j * 256 + LANES:(j + 1) * 256]
+            else:
+                zr, zi = _deinterleave(x[:, j * 256:(j + 1) * 256],
+                                       tile_t)
             pre.append(zr)
             pim.append(zi)
+        if _pc._ABLATE == "copy_only":  # perf probe: wrong result
+            or_ref[:] = jnp.concatenate(pre, axis=-1) if c > 1 else pre[0]
+            oi_ref[:] = jnp.concatenate(pim, axis=-1) if c > 1 else pim[0]
+            return
 
         # half-size C2C core, plane-list form
         s_r, s_i = _plane_dft_list(pre, pim, -1.0)
@@ -214,23 +223,39 @@ def _build_rfft(plan: P.FFTParams, tile_t: int, precision: str):
                 tr, ti = t_re[k2, :], t_im[k2, :]
                 s_r[k2], s_i[k2] = (s_r[k2] * tr - s_i[k2] * ti,
                                     s_r[k2] * ti + s_i[k2] * tr)
-        # ONE symmetry-packed lane DFT (2 real dots); the mirrored
-        # spectrum is recovered with zero MXU work: x@Grev ==
-        # lane-flip(x@G), so rv chunks are a chunk permutation + lane
-        # flip of zf (plus the k2=0 off-by-one roll)
-        zf_r, zf_i = _lane_dft(jnp.concatenate(s_r, axis=0),
-                               jnp.concatenate(s_i, axis=0),
-                               m, m_splits, precision)
+        # ONE symmetry-packed lane DFT (2 real dots); both the spectrum
+        # AND its lane mirror come from the same four recon components
+        # (C columns mirror-symmetric, S anti-symmetric):
+        #   zf  = (cr - si) + i(sr + ci)
+        #   zf[(128-k1)%128] = (cr + si) + i(ci - sr)   -- zero gathers
+        # so the mirror operand rv costs only sign-combines plus a lane
+        # roll per chunk (the global mirror is chunk-permute + 127-k1,
+        # i.e. the (128-k1)%128 form rolled by -1).
+        a_r = jnp.concatenate(s_r, axis=0)
+        a_i = jnp.concatenate(s_i, axis=0)
+        p_r = _pc._sym_dot(a_r, m, m_splits, precision)
+        p_i = _pc._sym_dot(a_i, m, m_splits, precision)
+        cr_, ci_, sr_, si_ = _pc._sym_recon_parts(p_r, p_i)
+        zf_r, zf_i = cr_ - si_, sr_ + ci_
         zf_rc = [zf_r[k * tile_t:(k + 1) * tile_t] for k in range(c)]
         zf_ic = [zf_i[k * tile_t:(k + 1) * tile_t] for k in range(c)]
-        flip = flip_lanes
-        rv_rc = [flip(zf_rc[(c - k2) % c]) for k2 in range(c)]
-        rv_ic = [flip(zf_ic[(c - k2) % c]) for k2 in range(c)]
-        # chunk k2=0 of the mirror needs Z[(128-k1)%128] = roll(rev, 1)
-        rv_rc[0] = pltpu.roll(rv_rc[0], 1, axis=1)
-        rv_ic[0] = pltpu.roll(rv_ic[0], 1, axis=1)
+        if _pc._ABLATE == "no_mirror":  # perf probe: wrong result
+            rv_rc, rv_ic = zf_rc, zf_ic
+        else:
+            zm_r, zm_i = cr_ + si_, ci_ - sr_
+            zm_rc = [zm_r[k * tile_t:(k + 1) * tile_t] for k in range(c)]
+            zm_ic = [zm_i[k * tile_t:(k + 1) * tile_t] for k in range(c)]
+            # roll by -1 == +127 (pltpu.roll wants non-negative shifts)
+            rv_rc = [zm_rc[0]] + [pltpu.roll(zm_rc[c - k2], 127, axis=1)
+                                  for k2 in range(1, c)]
+            rv_ic = [zm_ic[0]] + [pltpu.roll(zm_ic[c - k2], 127, axis=1)
+                                  for k2 in range(1, c)]
 
         # X = P*Z + Q*conj(Zm), per chunk (P/Q table rows)
+        if _pc._ABLATE == "no_recomb":  # perf probe: wrong result
+            or_ref[:] = jnp.concatenate(zf_rc, axis=-1) if c > 1 else zf_rc[0]
+            oi_ref[:] = jnp.concatenate(zf_ic, axis=-1) if c > 1 else zf_ic[0]
+            return
         out_r, out_i = [], []
         for k2 in range(c):
             pr, pi = p_re[k2, :], p_im[k2, :]
@@ -301,7 +326,8 @@ def rfft_fused_planar(x: jnp.ndarray, precision: str = "highest",
         x = jnp.concatenate(
             [x, jnp.zeros((pad, n), x.dtype)], axis=0)
     b = x.shape[0]
-    tile = tile_t or max(8, default_tile(n // 2))
+    # device-profiled best on v5e across 512-8192 (tools, round 2)
+    tile = tile_t or 512
     while tile > 8 and b % tile:
         tile //= 2
     if b % tile:
@@ -534,7 +560,8 @@ def irfft_fused_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
         vr = jnp.concatenate([vr, zeros], axis=0)
         vi = jnp.concatenate([vi, zeros], axis=0)
     b = vr.shape[0]
-    tile = tile_t or max(8, default_tile(n // 2))
+    # device-profiled best on v5e across 512-8192 (tools, round 2)
+    tile = tile_t or 512
     while tile > 8 and b % tile:
         tile //= 2
     if b % tile:
