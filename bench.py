@@ -166,6 +166,23 @@ def main():
                     entry[key] = ffts / (ms * 1e-3) / 1e6
                     log(f"n={n:5d} multiple[{prec}]: {entry[key]:8.1f} "
                         f"MFFT/s ({MULT_ITERS}x in-VMEM)")
+                if 256 <= n <= 2048:
+                    # pencil-layout reuse kernel: one relayout, then
+                    # MULT_ITERS pure-VPU radix ladders on VMEM-resident
+                    # pencils — the path that reproduces the reference's
+                    # 1.5-5x in-kernel-reuse speedup (ops/pencil.py)
+                    from smfft_tpu.ops import pencil as PEN
+
+                    def f_pen():
+                        out = PEN.multiple_pencil_planar(
+                            vr, vi, n, iters=MULT_ITERS)
+                        float(force(out[0]))
+                    _, ms = timed_gbs(f_pen, nbytes)
+                    ffts = rows_n * MULT_ITERS
+                    entry["multiple_pencil_mffts"] = ffts / (ms * 1e-3) / 1e6
+                    log(f"n={n:5d} multiple[pencil]: "
+                        f"{entry['multiple_pencil_mffts']:8.1f} MFFT/s "
+                        f"({MULT_ITERS}x in-VMEM)")
         except Exception as e:  # noqa: BLE001
             entry["error"] = str(e)[:200]
             log(f"n={n:5d} FAILED: {str(e)[:120]}")

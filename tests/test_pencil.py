@@ -1,0 +1,50 @@
+"""Pencil-layout in-VMEM multiple path (ops/pencil.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from smfft_tpu.ops import pallas_c2c as PC
+from smfft_tpu.ops import pencil
+
+
+@pytest.fixture(autouse=True)
+def _interp():
+    PC.set_interpret(True)
+    yield
+
+
+def test_single_application_matches_numpy():
+    n = 256
+    rng = np.random.default_rng(3)
+    x = (rng.random((1024, n)) + 1j * rng.random((1024, n))
+         - 0.5 - 0.5j).astype(np.complex64)
+    o_r, o_i = pencil.multiple_pencil_planar(
+        jnp.array(x.real.copy()), jnp.array(x.imag.copy()), n, iters=1)
+    got = (np.asarray(o_r) + 1j * np.asarray(o_i)) * np.sqrt(n)
+    ref = np.fft.fft(x.astype(np.complex128))
+    assert np.max(np.abs(got - ref)) < 1e-4
+
+
+def test_inverse_direction_roundtrip():
+    n = 256
+    rng = np.random.default_rng(4)
+    x = (rng.random((1024, n)) + 1j * rng.random((1024, n))
+         - 0.5 - 0.5j).astype(np.complex64)
+    f_r, f_i = pencil.multiple_pencil_planar(
+        jnp.array(x.real.copy()), jnp.array(x.imag.copy()), n, iters=1)
+    b_r, b_i = pencil.multiple_pencil_planar(f_r, f_i, n, iters=1,
+                                             inverse=True)
+    back = np.asarray(b_r) + 1j * np.asarray(b_i)  # 1/sqrt(n)^2 * n = 1
+    assert np.max(np.abs(back - x)) < 1e-4
+
+
+def test_pad_and_bounds():
+    n = 256
+    rng = np.random.default_rng(5)
+    vr = jnp.array(rng.random((100, n), dtype=np.float32))
+    vi = jnp.array(rng.random((100, n), dtype=np.float32))
+    o_r, o_i = pencil.multiple_pencil_planar(vr, vi, n, iters=1)
+    assert o_r.shape == (100, n)
+    with pytest.raises(ValueError):
+        pencil.multiple_pencil_planar(vr, vi, 4096, iters=1)

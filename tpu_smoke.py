@@ -8,7 +8,8 @@ compiles and runs every fused kernel family ON THE ATTACHED TPU and
 verifies against numpy.fft in float64:
 
   c2c forward ordered/unordered + inverse + relayout-free roundtrip,
-  r2c fused, c2r fused, multiple (in-VMEM reuse), every precision mode.
+  r2c fused, c2r fused, multiple (in-VMEM reuse), every precision mode,
+  plus the pencil-layout reuse kernel (ops/pencil.py).
 
 Run via the verify skill each round; commit the PASSED transcript to
 TPU_SMOKE.txt.  Exit code 0 = all pass.
@@ -102,6 +103,19 @@ def main():
                                                     precision=prec)) / L
             check(f"c2r fused     n={n} {prec}",
                   np.max(np.abs(back - xr)), tol(n, prec))
+
+    # pencil-layout in-VMEM reuse kernel (Mosaic path)
+    from smfft_tpu.ops import pencil as PEN
+    for n in (256, 1024, 2048):
+        x = (rng.random((1024, n)) + 1j * rng.random((1024, n))
+             - 0.5 - 0.5j).astype(np.complex64)
+        ref = np.fft.fft(x.astype(np.complex128))
+        o_r, o_i = PEN.multiple_pencil_planar(
+            jnp.array(np.ascontiguousarray(x.real)),
+            jnp.array(np.ascontiguousarray(x.imag)), n, iters=1)
+        got = (np.asarray(o_r) + 1j * np.asarray(o_i)) * np.sqrt(n)
+        check(f"pencil reuse  n={n} highest",
+              np.max(np.abs(got - ref)), tol(n, "highest"))
 
     print(f"{'ALL PASSED' if failures == 0 else f'{failures} FAILURES'}")
     return 0 if failures == 0 else 1
