@@ -133,12 +133,15 @@ def main():
                 gbs_o, _ = timed_gbs(mk(ordered=True), nbytes)
                 entry["ordered_gbs"] = gbs_o
                 log(f"n={n:5d} ordered:  {gbs_o:6.1f} GB/s")
-                # fused real transforms: 4B in + 4B out per real sample
+                # fused real transforms: 4B in + 4B out per real sample.
+                # natural-order spectra (the reference's Stockham
+                # R2C/C2R are always ordered): pencil kernel n <= 4096,
+                # matmul kernel + in-kernel digit swap above
                 if n >= 256:
                     x_real = devdata(rows_n, n, 3 * n)
 
                     def f_r2c():
-                        out = PR.rfft_fused_planar(x_real)
+                        out = PR.rfft_fused_planar(x_real, ordered=True)
                         float(force(out[0]))
                     g_r2c, _ = timed_gbs(f_r2c, rows_n * n * 8)
                     entry["r2c_gbs"] = g_r2c
@@ -148,7 +151,8 @@ def main():
                     hi = devdata(rows_n, n // 2, 3 * n + 2)
 
                     def f_c2r():
-                        out = PR.irfft_fused_planar(hr, hi, n)
+                        out = PR.irfft_fused_planar(hr, hi, n,
+                                                    in_natural=True)
                         float(force(out))
                     g_c2r, _ = timed_gbs(f_c2r, rows_n * n * 8)
                     entry["c2r_gbs"] = g_c2r
@@ -236,6 +240,17 @@ def main():
     roof = details.get("copy_roofline_gbs")
     if roof:
         details["external_roofline_fraction"] = value / roof
+    # preserve sections merged in by tools/accuracy_sweep.py and
+    # tools/multiple_ablation.py across bench reruns
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            old = json.load(f)
+        for k in ("accuracy", "accuracy_bound_model",
+                  "multiple_ablation", "multiple_ablation_note"):
+            if k in old and k not in details:
+                details[k] = old[k]
+    except (OSError, ValueError):
+        pass
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
 

@@ -30,21 +30,25 @@ into relayout-free pipelines, the TPU analogue of the reference's cheap
       inverse it consumes kernel A's output directly, giving a
       convolution-style roundtrip with zero reordering passes anywhere.
 
-Natural-order output for N >= 256 ("ordered") is kernel A with the
-revblock -> natural relayout done *in-kernel* before the single HBM
-store — the analogue of the reference's in-kernel reorder network
-(FFT-GPU-32bit.cu:54-329, README.md:33-36).  The product relayout is
-``tdot_late`` (_emit_ordered_tdot_late): the MXU emits each chunk's
-packed lane-DFT product already TRANSPOSED via reversed dot_general
-dimension numbers (no extra MXU passes), one sublane interleave + one
-wide XLU transpose put the packed products into the natural lane
-domain, and the mirror reconstruction runs last as per-tile slices,
-adds, and a within-tile static gather.  That is one full relayout pass
-fewer than transpose-stack-transpose ("swap", kept for pallas_real and
-as a fallback), worth ~10-15% end-to-end on v5e.  For N <= 128 every
-transform fits in one lane row (128/N packed per row for N < 128,
-mirroring the reference's 4x32 / 2x64 per-block packing,
-FFT-GPU-32bit.cu:588-595) and output is natural for free.
+Natural-order output ("ordered") — the analogue of the reference's
+in-kernel reorder network (FFT-GPU-32bit.cu:54-329, README.md:33-36):
+
+  * N >= 1024: kernel A with the relayout in-kernel via ``tdot_rows``
+    (_emit_ordered_tdot_rows): the MXU emits each chunk's packed
+    lane-DFT product already TRANSPOSED via reversed dot_general
+    dimension numbers (no extra MXU passes), one sublane interleave
+    puts packed row p of chunk k2 at row p*c + k2, the mirror
+    reconstruction runs in that ROW domain as static contiguous c-row
+    block slices + wide adds (zero lane gathers — the stage ablation
+    in tools/tune_ordered2.py showed lane gathers were the entire
+    ordered-path gap), and one wide transpose (free under the HBM
+    stream) lands the natural layout.  617-641 GB/s on v5e vs 656
+    unordered.
+  * N = 256/512: the pencil kernel (ops/pencil.py) at full roofline —
+    the c-row blocks above are sub-sublane-granule for c < 8.
+  * N <= 128: every transform fits in one lane row (128/N packed per
+    row for N < 128, mirroring the reference's 4x32 / 2x64 per-block
+    packing, FFT-GPU-32bit.cu:588-595) and output is natural for free.
 """
 
 from __future__ import annotations
@@ -73,14 +77,19 @@ _NO_COST = False
 # DFT; "no_twiddle" skips the main twiddle; "copy_only" skips everything.
 _ABLATE = ""
 
-# Ordered-merge implementation switch (debug/tuning; product = "tdot_late").
-#   "tdot_late"    PRODUCT PATH: MXU emits transposed packed products
+# Ordered-merge implementation switch (debug/tuning; product = "tdot_rows").
+#   "tdot_rows"    PRODUCT PATH: MXU emits transposed packed products
 #                  (reversed dot_general dims, same 2 packed dots as the
-#                  unordered path), one sublane interleave + one wide
-#                  transpose, mirror reconstruction LAST in the natural
-#                  lane domain (slices/adds + within-tile static gather).
-#                  Device-measured ~500 GB/s at N>=1024 vs ~453 for
-#                  "swap" (tools/tune*.py, v5e).
+#                  unordered path), one sublane interleave, mirror
+#                  reconstruction in the ROW domain (static contiguous
+#                  c-row block slices + wide adds, zero lane gathers),
+#                  then one wide transpose.  Device-measured 627-641
+#                  GB/s at N>=1024 (tools/tune_ordered2.py, v5e);
+#                  N=256/512 dispatch to the pencil path instead
+#                  (ops/pencil.py, full roofline).
+#   "tdot_late"    like tdot_rows but mirror reconstruction LAST in the
+#                  natural lane domain (slices/adds + within-tile static
+#                  gather) — the lane gathers cost ~15-20% of roofline.
 #   "swap"         digit_swap_merge (transposes + sublane stack)
 #   "concat_probe" transposes + plain concat — WRONG RESULT, isolates the
 #                  row-interleave (stack) cost from the transpose cost
@@ -93,7 +102,7 @@ _ABLATE = ""
 #                  no per-chunk transposes at all
 #   "tdot_sym"     packed-matrix transposed dots (2) + sublane-axis
 #                  mirror reconstruction
-_MERGE = "tdot_late"
+_MERGE = "tdot_rows"
 
 # Interpret mode runs the kernels through the Pallas interpreter (any
 # backend, incl. CPU) — used by the test suite; real deployments compile
@@ -568,6 +577,53 @@ def _emit_ordered_tdot_late(pre, pim, consts, precision):
     return _late_recon(qr, qi, c)
 
 
+def _emit_ordered_tdot_rows(pre, pim, consts, precision):
+    """Natural-order output with the mirror recon on the SUBLANE axis.
+
+    Same two packed transposed dots per chunk as tdot_late, same sublane
+    interleave to (c*128, T) with row p*c + k2 — but the mirror
+    reconstruction runs BEFORE the wide transpose, in the row domain,
+    where every access is a static contiguous c-row block slice:
+
+      row k1*c + k2 of the natural-order result needs packed rows
+      min(k1, 128-k1)*c + k2 (cosine) and (64 + min%64)*c + k2 (sine),
+      so for whole k1-blocks:
+        k1 = 1..63 :  out = wr[c:64c] -/+ wi[65c:128c]   (aligned slices)
+        k1 = 65..127: the same combination with + / - swapped, in
+                      REVERSED c-row-block order (m = 128-k1)
+
+    i.e. 2 wide adds + 2 wide subs on half the data each, one 63-block
+    sublane reversal (static slices), zero lane gathers / iotas /
+    selects — the stage ablation (tools/tune_ordered2.py) showed the
+    lane-domain gather recon was the entire ordered-path gap while the
+    wide transpose is free under the HBM stream."""
+    c = len(pre)
+    m = consts[2]
+    m_splits = (consts[3], consts[4]) if len(consts) > 3 else None
+    zq_r = [_dot_t(m, pre[k], precision, m_splits) for k in range(c)]
+    zq_i = [_dot_t(m, pim[k], precision, m_splits) for k in range(c)]
+    t = zq_r[0].shape[1]
+
+    def pack(zs):
+        return jnp.stack(zs, axis=1).reshape(c * LANES, t)
+    wr = pack(zq_r)  # (c*128, T): row p*c + k2 = packed row p, chunk k2
+    wi = pack(zq_i)
+    h = 64 * c
+    u, v = wr[c:h], wi[h + c:]       # cos rows 1..63, sin rows 65..127
+    x, y = wr[h + c:], wi[c:h]
+    top_r, top_i = u - v, x + y      # k1 = 1..63 blocks, aligned
+    bsrc_r, bsrc_i = u + v, y - x    # k1 = 65..127 need m = 128-k1
+
+    def blockrev(z):
+        return jnp.concatenate(
+            [z[j * c:(j + 1) * c] for j in range(62, -1, -1)], axis=0)
+    out_r = jnp.concatenate(
+        [wr[:c], top_r, wr[h:h + c], blockrev(bsrc_r)], axis=0)
+    out_i = jnp.concatenate(
+        [wi[:c], top_i, wi[h:h + c], blockrev(bsrc_i)], axis=0)
+    return jnp.transpose(out_r), jnp.transpose(out_i)
+
+
 def _late_recon(qr, qi, c):
     """Mirror reconstruction in the merged natural-lane domain; see
     _emit_ordered_tdot_late.  qr/qi: (T, c*128), lane m = p*c + k2."""
@@ -654,6 +710,8 @@ def emit_fft(xr, xi, consts, *, n: int, inverse: bool = False,
         return _emit_ordered_tdot(pre, pim, consts, precision)
     if ordered and _MERGE == "tdot_late":
         return _emit_ordered_tdot_late(pre, pim, consts, precision)
+    if ordered and _MERGE == "tdot_rows":
+        return _emit_ordered_tdot_rows(pre, pim, consts, precision)
     # fold chunks into rows (k2-major) for one full-width lane matmul
     a_re = jnp.concatenate(pre, axis=0)
     a_im = jnp.concatenate(pim, axis=0)
@@ -723,8 +781,16 @@ def emit_fft_rev(xr, xi, consts, *, n: int, inverse: bool = False,
 # relayout prefers different shapes than the pure-stream unordered path.
 _TUNED_TILES = {32: 2048, 64: 2048, 128: 2048, 256: 1024, 512: 1024,
                 1024: 512, 2048: 256, 4096: 256}
-_TUNED_TILES_ORDERED = {256: 1024, 512: 128, 1024: 512, 2048: 128,
+# (256/512 route to the pencil kernel; entries kept for the explicit
+# tile_t override path)
+_TUNED_TILES_ORDERED = {256: 1024, 512: 1024, 1024: 256, 2048: 256,
                         4096: 128}
+
+# Ordered sizes served by the pencil-layout kernel (ops/pencil.py): the
+# in-VMEM relayout + pure-VPU ladder hides fully under the HBM stream
+# there (658/655 GB/s device-measured), while the c-row block slices of
+# tdot_rows are sub-sublane-granule for c < 8.
+_PENCIL_ORDERED = (256, 512)
 
 
 def default_tile(n: int, ordered: bool = False) -> int:
@@ -879,6 +945,11 @@ def fft_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
     if plan is None:
         plan = P.plan_for(n, "inverse" if inverse else "forward", "c2c",
                           ordered)
+    if (plan.ordered and not rev_in and multiple_iters == 0
+            and tile_t is None and n in _PENCIL_ORDERED):
+        from smfft_tpu.ops import pencil
+        return pencil.fft_pencil_planar(
+            vr, vi, n, inverse=plan.direction == "inverse", scale=scale)
     vr, vi, rows = _pad_rows(vr, vi)
     tile = _pick_tile(vr.shape[0], n, tile_t, plan.ordered and not rev_in)
     run = _build(plan, rev_in, precision, tile, multiple_iters,

@@ -320,6 +320,13 @@ def rfft_fused_planar(x: jnp.ndarray, precision: str = "highest",
     if n < 256 or n not in P.SUPPORTED_REAL_SIZES:
         raise ValueError(f"rfft_fused requires real n in "
                          f"{[s for s in P.SUPPORTED_REAL_SIZES if s >= 256]}")
+    if ordered and n <= 4096 and tile_t is None:
+        # natural-order spectra come from the pencil kernel at full
+        # bandwidth (every structural op is a free plane-list
+        # manipulation there — ops/pencil.py); n = 8192 stays on the
+        # matmul kernel + in-kernel digit swap
+        from smfft_tpu.ops import pencil
+        return pencil.rfft_pencil_planar(x, n)
     rows = x.shape[0]
     pad = (-rows) % 8
     if pad:
@@ -553,6 +560,12 @@ def irfft_fused_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
     if n < 256 or n not in P.SUPPORTED_REAL_SIZES:
         raise ValueError(f"irfft_fused requires real n in "
                          f"{[s for s in P.SUPPORTED_REAL_SIZES if s >= 256]}")
+    if in_natural and n <= 4096 and tile_t is None:
+        # natural-order packed spectrum -> pencil kernel (see
+        # rfft_fused_planar); n = 8192 stays on the matmul kernel with
+        # the in-kernel digit_swap_split
+        from smfft_tpu.ops import pencil
+        return pencil.irfft_pencil_planar(vr, vi, n)
     rows = vr.shape[0]
     pad = (-rows) % 8
     if pad:

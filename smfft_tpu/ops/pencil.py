@@ -1,35 +1,48 @@
-"""Pencil-layout in-VMEM reuse kernel — the NREUSES/multiple fast path.
+"""Pencil-layout kernels: the in-VMEM reuse path, the ordered external
+path for small N, and the fused real transforms.
 
-The reference's signature result is its ``_multiple`` benchmark running
-1.5-5x faster than the HBM-bound external path by re-applying the FFT
-core to shared-memory-resident data (FFT-GPU-32bit.cu:553-572,
-README.md:84-91).  The matmul-DFT external kernel cannot reproduce that
-ratio: it deliberately spends ~30x more FLOPs per FFT than a radix
-ladder to reach 100% of HBM bandwidth, so its in-VMEM loop is MXU-bound
-at ~parity with external (BENCH_DETAILS "multiple_ablation").
-
-This kernel recovers the reuse advantage with a layout change instead:
-the block of row-FFTs is relayouted ONCE into "pencil" form —
+The pencil form relayouts a (1024, n) block of row-FFTs ONCE into
 ``big (8n, 128)`` where plane j = rows [8j, 8j+8) holds sample j of
-8*128 = 1024 independent FFTs — and each of the ``iters`` in-VMEM FFT
-applications is then the pure-VPU radix-4 plane ladder
-(:func:`pallas_c2c._plane_dft_list`) over the n sublane planes with
-python-scalar twiddles: no MXU, no gathers, no per-iteration relayout.
-The classic ~5 n log2 n FLOP count applies, and the one-time relayout
-(8 slab transposes + a sublane interleave each way) amortizes over the
-loop.  Device-measured on v5e: 2.1-2.5x the matmul multiple path at
-N = 256-2048 (e.g. 91.9 vs 40.9 MFFT/s at N = 1024) — the reference's
-in-kernel-reuse behavior, reproduced the TPU way.
+8*128 = 1024 independent FFTs.  In that layout the whole transform is
+the pure-VPU radix-4 plane ladder (:func:`pallas_c2c._plane_dft_list`)
+over sublane planes with python-scalar twiddles — no MXU, no lane
+gathers — and every structural operation the matmul-DFT kernels pay
+VPU relayouts for becomes a FREE python-level plane-list manipulation:
 
-Per-iteration output is natural-order (the DIT list recursion returns
-frequency-indexed planes) and scaled by 1/sqrt(n) to keep 100
-re-applications bounded (the reference never verifies multiple-path
-output, SURVEY.md §4; ours is verified for one iteration in tests).
+  * natural-order output: the DIT recursion returns frequency-indexed
+    planes — no digit-swap relayout at all;
+  * even/odd deinterleave (r2c): plane list [0::2] / [1::2];
+  * the Hermitian mirror Z[(L-k) mod L] (r2c/c2r): a plane permutation;
+  * the (DC, Nyquist) packed slot: plane 0 special-cased statically,
+    no iota/mask selects;
+  * re-interleaving real samples (c2r): alternating the plane list.
+
+Three products ride this:
+
+1. ``multiple_pencil_planar`` — the NREUSES/multiple fast path.  The
+   reference's signature result is its ``_multiple`` benchmark running
+   1.5-5x faster than the HBM-bound external path by re-applying the
+   core to shared-memory-resident data (FFT-GPU-32bit.cu:553-572,
+   README.md:84-91); the matmul-DFT in-VMEM loop is MXU-bound at
+   ~external parity (BENCH_DETAILS "multiple_ablation"), but the pencil
+   ladder re-applies with no per-iteration relayout: 2.2-2.5x external
+   at N = 256-2048 on v5e (e.g. 91.9 vs 40.9 MFFT/s at N = 1024).
+   Per-iteration output is scaled by 1/sqrt(n) to keep 100
+   re-applications bounded.
+2. ``fft_pencil_planar`` — single-pass natural-order C2C for
+   N = 256/512, full HBM roofline (658/655 GB/s) where the matmul
+   ordered merge pays sub-sublane-granule slices.
+3. ``rfft_pencil_planar`` / ``irfft_pencil_planar`` — fused R2C/C2R
+   (SMFFT_Stockham_R2C_C2R/FFT-GPU-32bit-Stockham.cu:269-344 parity:
+   half-size complex core + split/merge with W(N, k), packed
+   (DC, Nyquist) slot 0, unnormalized L-scaled inverse) with
+   natural-order spectra and zero gather/relayout cost.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -43,37 +56,55 @@ from smfft_tpu.ops.pallas_c2c import _plane_dft_list
 R_BLOCK = 1024  # FFTs per grid block: 8 slabs x 128 lanes
 
 
-def _pencil_block(xr, xi, n: int, iters: int, sign: float):
+def _to_pencil(x, n):
+    """(1024, n) rows -> pencil (8n, 128): plane j = rows [8j, 8j+8)
+    holds sample j of the 8*128 FFTs (8 slab transposes + one sublane
+    interleave)."""
+    slabs = [jnp.transpose(x[r * 128:(r + 1) * 128, :]) for r in range(8)]
+    return jnp.stack(slabs, axis=1).reshape(8 * n, 128)
+
+
+def _from_pencil(b, n):
+    """Inverse of :func:`_to_pencil`: pencil (8n, 128) -> (1024, n)."""
+    b3 = b.reshape(n, 8, 128)
+    return jnp.concatenate(
+        [jnp.transpose(b3[:, r, :]) for r in range(8)], axis=0)
+
+
+def _planes(b, n):
+    """Pencil (8n, 128) -> python list of n (8, 128) planes."""
+    return [b[8 * j:8 * (j + 1)] for j in range(n)]
+
+
+def _pencil_block(xr, xi, n: int, iters: int, sign: float,
+                  per_iter_scale: bool = True):
     """The per-(1024, n)-block transform body — pure jnp, shared by the
     Pallas kernel and the compiled CPU fallback (the interpreter is far
-    too slow for the unrolled n-plane ladder)."""
-    scale = np.float32(1.0 / np.sqrt(float(n)))
+    too slow for the unrolled n-plane ladder).
 
-    def to_pencil(x):
-        slabs = [jnp.transpose(x[r * 128:(r + 1) * 128, :])
-                 for r in range(8)]
-        return jnp.stack(slabs, axis=1).reshape(8 * n, 128)
-    br = to_pencil(xr)
-    bi = to_pencil(xi)
+    per_iter_scale multiplies 1/sqrt(n) into each application (keeps the
+    100x reuse loop bounded); the single-pass external path turns it off
+    for raw unnormalized FFT semantics."""
+    scale = np.float32(1.0 / np.sqrt(float(n))) if per_iter_scale else None
+
+    br = _to_pencil(xr, n)
+    bi = _to_pencil(xi, n)
 
     def body(_, carry):
         cr, ci = carry
-        pr = [cr[8 * j:8 * (j + 1)] for j in range(n)]
-        pi = [ci[8 * j:8 * (j + 1)] for j in range(n)]
-        o_r, o_i = _plane_dft_list(pr, pi, sign)
-        return (jnp.concatenate(o_r, axis=0) * scale,
-                jnp.concatenate(o_i, axis=0) * scale)
+        o_r, o_i = _plane_dft_list(_planes(cr, n), _planes(ci, n), sign)
+        o_r = jnp.concatenate(o_r, axis=0)
+        o_i = jnp.concatenate(o_i, axis=0)
+        if scale is not None:
+            o_r, o_i = o_r * scale, o_i * scale
+        return o_r, o_i
     br, bi = jax.lax.fori_loop(0, iters, body, (br, bi))
-
-    def from_pencil(b):
-        b3 = b.reshape(n, 8, 128)
-        return jnp.concatenate(
-            [jnp.transpose(b3[:, r, :]) for r in range(8)], axis=0)
-    return from_pencil(br), from_pencil(bi)
+    return _from_pencil(br, n), _from_pencil(bi, n)
 
 
 @functools.lru_cache(maxsize=None)
-def _build(n: int, iters: int, inverse: bool, interpret: bool = False):
+def _build(n: int, iters: int, inverse: bool, interpret: bool = False,
+           per_iter_scale: bool = True, fused_scale: bool = False):
     sign = +1.0 if inverse else -1.0
 
     if interpret:
@@ -81,34 +112,48 @@ def _build(n: int, iters: int, inverse: bool, interpret: bool = False):
         # interpreter is hours-slow on the unrolled ladder and XLA:CPU
         # compile of the ~n*log(n)-op graph takes minutes under the
         # 8-virtual-device test config, while eager runs it in ~1 s
-        def run_host(vr, vi):
+        def run_host(vr, vi, scale=None):
             with jax.disable_jit():
+                if fused_scale:
+                    vr = vr * scale
+                    vi = vi * scale
                 outs = [_pencil_block(vr[s:s + R_BLOCK],
-                                      vi[s:s + R_BLOCK], n, iters, sign)
+                                      vi[s:s + R_BLOCK], n, iters, sign,
+                                      per_iter_scale)
                         for s in range(0, vr.shape[0], R_BLOCK)]
                 return (jnp.concatenate([o[0] for o in outs], axis=0),
                         jnp.concatenate([o[1] for o in outs], axis=0))
         return run_host
 
-    def kernel(xr_ref, xi_ref, our_ref, oui_ref):
-        o_r, o_i = _pencil_block(xr_ref[:], xi_ref[:], n, iters, sign)
+    def kernel(*refs):
+        if fused_scale:
+            xr_ref, xi_ref, s_ref, our_ref, oui_ref = refs
+            s = s_ref[0]
+            xr, xi = xr_ref[:] * s, xi_ref[:] * s
+        else:
+            xr_ref, xi_ref, our_ref, oui_ref = refs
+            xr, xi = xr_ref[:], xi_ref[:]
+        o_r, o_i = _pencil_block(xr, xi, n, iters, sign, per_iter_scale)
         our_ref[:] = o_r
         oui_ref[:] = o_i
 
     spec = pl.BlockSpec((R_BLOCK, n), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
+    scale_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] if fused_scale
+                   else [])
 
     @jax.jit
-    def run(vr, vi):
+    def run(vr, vi, scale=None):
         b = vr.shape[0]
+        extra = (scale.reshape(1),) if fused_scale else ()
         return pl.pallas_call(
             kernel, grid=(b // R_BLOCK,),
-            in_specs=[spec, spec], out_specs=(spec, spec),
+            in_specs=[spec, spec] + scale_specs, out_specs=(spec, spec),
             out_shape=(jax.ShapeDtypeStruct((b, n), jnp.float32),) * 2,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024,
                 dimension_semantics=("arbitrary",)),
-        )(vr, vi)
+        )(vr, vi, *extra)
     return run
 
 
@@ -134,6 +179,198 @@ def multiple_pencil_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
         vr = jnp.concatenate([vr, zeros], axis=0)
         vi = jnp.concatenate([vi, zeros], axis=0)
     o_r, o_i = _build(n, iters, inverse, _pc._INTERPRET)(vr, vi)
+    if pad:
+        o_r, o_i = o_r[:rows], o_i[:rows]
+    return o_r, o_i
+
+
+def _rfft_block(x, n: int):
+    """Fused R2C on one (1024, n) real block -> natural-order packed
+    spectrum planar pair (1024, L), L = n/2, slot 0 = (DC, Nyquist).
+
+    Reference math parity (FFT-GPU-32bit-Stockham.cu:269-340): half-size
+    complex FFT of (even + i*odd), then X[k] = P Z[k] + Q conj(Z[L-k])
+    with P = (1 - iW^k)/2, Q = (1 + iW^k)/2, W = e^{-2pi i/n}.  In
+    pencil form the deinterleave is plane-list slicing, the mirror is a
+    plane permutation, and P/Q are python-scalar constants per plane."""
+    L = n // 2
+    big = _to_pencil(x, n)
+    pl_ = _planes(big, n)
+    zr, zi = _plane_dft_list(pl_[0::2], pl_[1::2], -1.0)
+    out_r, out_i = [None] * L, [None] * L
+    out_r[0] = zr[0] + zi[0]            # DC
+    out_i[0] = zr[0] - zi[0]            # Nyquist (packed slot)
+    for k in range(1, L):
+        m = L - k
+        th = -2.0 * math.pi * k / n
+        sn, cs = math.sin(th), math.cos(th)
+        p_re, p_im = (1.0 + sn) * 0.5, -0.5 * cs
+        q_re, q_im = (1.0 - sn) * 0.5, +0.5 * cs
+        if k == L // 2:                 # th = -pi/2: P = 0, Q = 1
+            out_r[k], out_i[k] = zr[m], -zi[m]
+            continue
+        out_r[k] = (zr[k] * p_re - zi[k] * p_im
+                    + zr[m] * q_re + zi[m] * q_im)
+        out_i[k] = (zr[k] * p_im + zi[k] * p_re
+                    + zr[m] * q_im - zi[m] * q_re)
+    return (_from_pencil(jnp.concatenate(out_r, axis=0), L),
+            _from_pencil(jnp.concatenate(out_i, axis=0), L))
+
+
+def _irfft_block(xr, xi, n: int):
+    """Fused C2R on one (1024, L) natural-order packed spectrum pair ->
+    (1024, n) real signal scaled by L (the reference's unnormalized
+    contract, FFT.c:170-171).
+
+    Z[k] = A X[k] + B conj(X[L-k]), A = (1 + iW^-k)/2, B = (1 - iW^-k)/2;
+    inverse half-size ladder; samples re-interleave as alternating
+    planes."""
+    L = n // 2
+    br = _to_pencil(xr, L)
+    bi = _to_pencil(xi, L)
+    xpr, xpi = _planes(br, L), _planes(bi, L)
+    z_r, z_i = [None] * L, [None] * L
+    z_r[0] = (xpr[0] + xpi[0]) * np.float32(0.5)   # (DC + Nyq)/2
+    z_i[0] = (xpr[0] - xpi[0]) * np.float32(0.5)   # (DC - Nyq)/2
+    for k in range(1, L):
+        m = L - k
+        th = 2.0 * math.pi * k / n
+        sn, cs = math.sin(th), math.cos(th)
+        a_re, a_im = (1.0 - sn) * 0.5, +0.5 * cs
+        b_re, b_im = (1.0 + sn) * 0.5, -0.5 * cs
+        if k == L // 2:                 # th = pi/2: A = 0, B = 1
+            z_r[k], z_i[k] = xpr[m], -xpi[m]
+            continue
+        z_r[k] = (xpr[k] * a_re - xpi[k] * a_im
+                  + xpr[m] * b_re + xpi[m] * b_im)
+        z_i[k] = (xpr[k] * a_im + xpi[k] * a_re
+                  + xpr[m] * b_im - xpi[m] * b_re)
+    o_r, o_i = _plane_dft_list(z_r, z_i, +1.0)
+    out = [None] * n
+    out[0::2] = o_r                     # even samples = real plane
+    out[1::2] = o_i                     # odd samples = imag plane
+    return _from_pencil(jnp.concatenate(out, axis=0), n)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_real(n: int, inverse: bool, interpret: bool = False):
+    L = n // 2
+
+    if interpret:
+        def run_host(*arrays):
+            with jax.disable_jit():
+                outs = []
+                for s in range(0, arrays[0].shape[0], R_BLOCK):
+                    blk = [a[s:s + R_BLOCK] for a in arrays]
+                    outs.append(_irfft_block(*blk, n) if inverse
+                                else _rfft_block(*blk, n))
+                if inverse:
+                    return jnp.concatenate(outs, axis=0)
+                return (jnp.concatenate([o[0] for o in outs], axis=0),
+                        jnp.concatenate([o[1] for o in outs], axis=0))
+        return run_host
+
+    if inverse:
+        def kernel(xr_ref, xi_ref, o_ref):
+            o_ref[:] = _irfft_block(xr_ref[:], xi_ref[:], n)
+    else:
+        def kernel(x_ref, our_ref, oui_ref):
+            o_r, o_i = _rfft_block(x_ref[:], n)
+            our_ref[:] = o_r
+            oui_ref[:] = o_i
+
+    real_spec = pl.BlockSpec((R_BLOCK, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    spec_spec = pl.BlockSpec((R_BLOCK, L), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def run(*arrays):
+        b = arrays[0].shape[0]
+        if inverse:
+            in_specs, out_specs = [spec_spec, spec_spec], real_spec
+            out_shape = jax.ShapeDtypeStruct((b, n), jnp.float32)
+        else:
+            in_specs = [real_spec]
+            out_specs = (spec_spec, spec_spec)
+            out_shape = (jax.ShapeDtypeStruct((b, L), jnp.float32),) * 2
+        return pl.pallas_call(
+            kernel, grid=(b // R_BLOCK,),
+            in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+                dimension_semantics=("arbitrary",)),
+        )(*arrays)
+    return run
+
+
+def _pad_run(arrays, n_out_cols, run):
+    rows = arrays[0].shape[0]
+    pad = (-rows) % R_BLOCK
+    if pad:
+        arrays = [jnp.concatenate(
+            [a, jnp.zeros((pad, a.shape[1]), a.dtype)], axis=0)
+            for a in arrays]
+    out = run(*arrays)
+    if pad:
+        out = (tuple(o[:rows] for o in out) if isinstance(out, tuple)
+               else out[:rows])
+    return out
+
+
+def rfft_pencil_planar(x: jnp.ndarray, n: int | None = None):
+    """Fused single-pass R2C in pencil layout: real (B, n) fp32 ->
+    NATURAL-ORDER packed spectrum planar (B, n/2) pair, slot 0 =
+    (DC, Nyquist).  Supported for 256 <= n <= 4096 (the n = 8192 ladder
+    exceeds the Mosaic program budget; callers fall back to the matmul
+    kernel there)."""
+    n = n or x.shape[-1]
+    if not 256 <= n <= 4096:
+        raise ValueError("rfft_pencil supports 256 <= n <= 4096")
+    if x.shape[-1] != n:
+        raise ValueError(f"expected row width {n}, got {x.shape[-1]}")
+    run = _build_real(n, False, _pc._INTERPRET)
+    return _pad_run([x.astype(jnp.float32)], n // 2, run)
+
+
+def irfft_pencil_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int):
+    """Fused single-pass C2R in pencil layout: NATURAL-ORDER packed
+    spectrum planar (B, n/2) pair -> real (B, n) scaled by n/2 (the
+    reference's unnormalized contract).  Supported for
+    256 <= n <= 4096."""
+    if not 256 <= n <= 4096:
+        raise ValueError("irfft_pencil supports 256 <= n <= 4096")
+    if vr.shape[-1] != n // 2:
+        raise ValueError(f"expected row width {n // 2}, got {vr.shape[-1]}")
+    run = _build_real(n, True, _pc._INTERPRET)
+    return _pad_run([vr.astype(jnp.float32), vi.astype(jnp.float32)],
+                    n, run)
+
+
+def fft_pencil_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
+                      inverse: bool = False, scale=None):
+    """Single-pass natural-order FFT in pencil layout — the ordered
+    external path for N = 256/512, where the one-time relayout + pure-VPU
+    ladder hides fully under the HBM stream (658/655 GB/s device-measured
+    on v5e vs 460-470 for the matmul tdot_rows merge, whose c-row block
+    slices are sub-sublane-granule at c < 8).
+
+    Unnormalized forward/inverse DFT semantics (matching fft_planar);
+    ``scale`` is an optional scalar fused into the load."""
+    if vr.shape[-1] != n:
+        raise ValueError(f"expected row width {n}, got {vr.shape[-1]}")
+    rows = vr.shape[0]
+    pad = (-rows) % R_BLOCK
+    if pad:
+        zeros = jnp.zeros((pad, n), vr.dtype)
+        vr = jnp.concatenate([vr, zeros], axis=0)
+        vi = jnp.concatenate([vi, zeros], axis=0)
+    run = _build(n, 1, inverse, _pc._INTERPRET, per_iter_scale=False,
+                 fused_scale=scale is not None)
+    if scale is not None:
+        o_r, o_i = run(vr, vi, jnp.asarray(scale, jnp.float32))
+    else:
+        o_r, o_i = run(vr, vi)
     if pad:
         o_r, o_i = o_r[:rows], o_i[:rows]
     return o_r, o_i

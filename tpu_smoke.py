@@ -104,8 +104,24 @@ def main():
             check(f"c2r fused     n={n} {prec}",
                   np.max(np.abs(back - xr)), tol(n, prec))
 
-    # pencil-layout in-VMEM reuse kernel (Mosaic path)
+    # pencil-layout fused real transforms, natural order (the product
+    # ordered path for 256 <= n <= 4096)
     from smfft_tpu.ops import pencil as PEN
+    for n in (256, 1024, 4096):
+        xr = (rng.random((1024, n)) * 2 - 1).astype(np.float32)
+        o_r, o_i = PEN.rfft_pencil_planar(jnp.array(xr))
+        got = np.asarray(o_r) + 1j * np.asarray(o_i)
+        ref = np.fft.rfft(xr.astype(np.float64))
+        full = np.concatenate(
+            [np.real(got[:, :1]), got[:, 1:], np.imag(got[:, :1])], axis=1)
+        full[:, 0] = np.real(got[:, 0])
+        check(f"r2c pencil    n={n} highest",
+              np.max(np.abs(full - ref)), tol(n, "highest"))
+        back = np.asarray(PEN.irfft_pencil_planar(o_r, o_i, n)) / (n // 2)
+        check(f"c2r pencil rt n={n} highest",
+              np.max(np.abs(back - xr)), tol(n, "highest"))
+
+    # pencil-layout in-VMEM reuse kernel (Mosaic path)
     for n in (256, 1024, 2048):
         x = (rng.random((1024, n)) + 1j * rng.random((1024, n))
              - 0.5 - 0.5j).astype(np.complex64)
