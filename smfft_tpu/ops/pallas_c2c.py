@@ -780,11 +780,11 @@ def emit_fft_rev(xr, xi, consts, *, n: int, inverse: bool = False,
 # the kernel's VMEM frame blows the scoped budget; the ordered path's
 # relayout prefers different shapes than the pure-stream unordered path.
 _TUNED_TILES = {32: 2048, 64: 2048, 128: 2048, 256: 1024, 512: 1024,
-                1024: 512, 2048: 256, 4096: 256}
+                1024: 512, 2048: 256, 4096: 256, 8192: 128}
 # (256/512 route to the pencil kernel; entries kept for the explicit
 # tile_t override path)
 _TUNED_TILES_ORDERED = {256: 1024, 512: 1024, 1024: 256, 2048: 256,
-                        4096: 128}
+                        4096: 128, 8192: 128}
 
 # Ordered sizes served by the pencil-layout kernel (ops/pencil.py): the
 # in-VMEM relayout + pure-VPU ladder hides fully under the HBM stream

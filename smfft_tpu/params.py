@@ -35,12 +35,16 @@ import numpy as np
 # SMFFT_Stockham_C2C/FFT-GPU-32bit-Stockham.cu:317-341), real transforms
 # N = 512..4096 (half-size 256..2048,
 # SMFFT_Stockham_R2C_C2R/FFT-GPU-32bit-Stockham.cu:406-427).
-# We support the union and extend real sizes down to 64 and up to 8192
-# (half-size 32..4096) since the half-size C2C core covers them for free.
+# We support the union, extend real sizes down to 64 and up to 16384
+# (half-size 32..8192) since the half-size C2C core covers them, and
+# extend C2C to 8192 (the two-factor 64x128 decomposition has no 4096
+# ceiling — the reference's cap was 48 KB shared memory, ours is VMEM).
 # --------------------------------------------------------------------------
 
-SUPPORTED_C2C_SIZES: tuple[int, ...] = (32, 64, 128, 256, 512, 1024, 2048, 4096)
-SUPPORTED_REAL_SIZES: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
+SUPPORTED_C2C_SIZES: tuple[int, ...] = (32, 64, 128, 256, 512, 1024, 2048,
+                                        4096, 8192)
+SUPPORTED_REAL_SIZES: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048,
+                                         4096, 8192, 16384)
 
 Direction = Literal["forward", "inverse"]
 Kind = Literal["c2c", "r2c", "c2r"]
@@ -65,6 +69,7 @@ _DEFAULT_FACTORS: dict[int, tuple[int, ...]] = {
     1024: (32, 32),
     2048: (64, 32),
     4096: (16, 16, 16),
+    8192: (32, 16, 16),
 }
 
 _FACTORS = dict(_DEFAULT_FACTORS)

@@ -38,7 +38,8 @@ def to_dev(x):
 
 @pytest.mark.parametrize("n", SUPPORTED_C2C_SIZES)
 def test_forward_ordered(rng, n):
-    x = rand_c(rng, 256, n)
+    rows = 256 if n <= 4096 else 16  # interpreter cost at c = 64
+    x = rand_c(rng, rows, n)
     got = np.asarray(PC.fft_pallas(to_dev(x)))
     assert max_abs_err(got, np.fft.fft(x.astype(np.complex128))) < tol(n)
 

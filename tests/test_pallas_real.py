@@ -24,9 +24,10 @@ def tol(n):
 
 @pytest.mark.parametrize("n", SUPPORTED_REAL_SIZES)
 def test_rfft_numpy_layout(rng, n):
-    x = (rng.random((128, n)) - 0.5).astype(np.float32)
+    rows = 128 if n <= 8192 else 16  # interpreter cost at half-size 8192
+    x = (rng.random((rows, n)) - 0.5).astype(np.float32)
     got = np.asarray(PR.rfft_pallas(jnp.array(x)))
-    assert got.shape == (128, n // 2 + 1)
+    assert got.shape == (rows, n // 2 + 1)
     assert max_abs_err(got, np.fft.rfft(x.astype(np.float64))) < tol(n)
 
 

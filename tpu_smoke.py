@@ -46,7 +46,7 @@ def main():
               f"(bound {bound:.3e})")
 
     for prec in ("highest", "fast"):
-        for n in (32, 64, 128, 256, 1024, 4096):
+        for n in (32, 64, 128, 256, 1024, 4096, 8192):
             x = (rng.random((64, n)) + 1j * rng.random((64, n))
                  - 0.5 - 0.5j).astype(np.complex64)
             vr = jnp.array(np.ascontiguousarray(x.real))
@@ -83,7 +83,7 @@ def main():
             m_r, _ = PC.fft_planar(vr2, vi2, n, precision=prec,
                                    multiple_iters=3)
             assert np.all(np.isfinite(np.asarray(m_r))), "multiple NaN"
-        for n in (256, 512, 2048, 8192):
+        for n in (256, 512, 2048, 8192, 16384):
             xr = (rng.random((64, n)) * 2 - 1).astype(np.float32)
             spec_ref = np.fft.rfft(xr.astype(np.float64))
             o_r, o_i = PR.rfft_fused_planar(jnp.array(xr), precision=prec)
