@@ -102,7 +102,10 @@ def main():
         log(f"copy roofline FAILED: {str(e)[:120]}")
 
     ext_gbs = []
-    for n in SIZES:
+    for n in SIZES + (8192,):
+        # 8192 is measured as an extended-capability row but excluded
+        # from the geomean (the reference sweep, and therefore
+        # vs_baseline, covers 32..4096)
         ncols = max(n, 128)
         rows_n = 1 << (((PLANE_MB * 2 ** 20) // (ncols * 4)).bit_length()
                        - 1)
@@ -124,7 +127,8 @@ def main():
                 gbs, _ = timed_gbs(mk(), nbytes)
                 entry["external_gbs"] = gbs
                 entry["external_mffts"] = gbs * 1e9 / 16 / n / 1e6
-                ext_gbs.append(gbs)
+                if n in SIZES:
+                    ext_gbs.append(gbs)
                 log(f"n={n:5d} external: {gbs:6.1f} GB/s  "
                     f"{entry['external_mffts']:8.1f} MFFT/s")
                 gbs_i, _ = timed_gbs(mk(inverse=True), nbytes)
