@@ -76,6 +76,35 @@ def _planes(b, n):
     return [b[8 * j:8 * (j + 1)] for j in range(n)]
 
 
+# Public emitter surface — the pencil-domain analogue of the reference's
+# __device__-callable core (README.md:10: "expected to be called within
+# a GPU kernel").  A user Pallas kernel composes them directly:
+#
+#     big_r, big_i = to_pencil(xr, n), to_pencil(xi, n)
+#     fr, fi = plane_fft(planes(big_r, n), planes(big_i, n))   # forward
+#     ... elementwise frequency-domain work on the plane lists ...
+#     br, bi = plane_fft(fr2, fi2, inverse=True)               # inverse
+#     out_r = from_pencil(jnp.concatenate(br, axis=0), n)
+#
+# Plane k of the forward output is frequency k (natural order), so
+# per-frequency filters are python-indexed plane operations — no masks,
+# no gathers.  See tpu_smoke.py for a compiled FFT -> filter -> IFFT
+# convolution kernel built this way.
+to_pencil = _to_pencil
+from_pencil = _from_pencil
+planes = _planes
+
+
+def plane_fft(planes_r, planes_i, inverse: bool = False):
+    """DFT over a python list of pencil planes (any (rows, 128) shape).
+
+    Forward is the unnormalized DFT, inverse the unnormalized inverse
+    (scale by 1/len(planes) for numpy ``ifft`` semantics).  Output plane
+    k is frequency k — natural order by construction."""
+    return _plane_dft_list(list(planes_r), list(planes_i),
+                           +1.0 if inverse else -1.0)
+
+
 def _pencil_block(xr, xi, n: int, iters: int, sign: float,
                   per_iter_scale: bool = True):
     """The per-(1024, n)-block transform body — pure jnp, shared by the

@@ -39,6 +39,35 @@ def test_inverse_direction_roundtrip():
     assert np.max(np.abs(back - x)) < 1e-4
 
 
+def test_composed_convolution_emitters():
+    """The reference's __device__ composability story in pencil form:
+    FFT -> per-frequency filter -> IFFT with the public emitters, all
+    plane-list operations (README.md:10, the in-kernel conv use case)."""
+    import jax
+    import numpy as np
+
+    n = 256
+    rng = np.random.default_rng(6)
+    x = (rng.random((1024, n)) - 0.5).astype(np.float32)
+    h = (rng.random(n) - 0.5).astype(np.float32)   # shared filter taps
+    hf = np.fft.fft(h.astype(np.complex128))
+    with jax.disable_jit():
+        br = pencil.to_pencil(jnp.array(x), n)
+        bi = pencil.to_pencil(jnp.zeros_like(jnp.array(x)), n)
+        fr, fi = pencil.plane_fft(pencil.planes(br, n),
+                                  pencil.planes(bi, n))
+        # frequency-domain multiply: plane k is frequency k, so the
+        # filter is a python-scalar complex multiply per plane
+        gr = [fr[k] * float(hf[k].real) - fi[k] * float(hf[k].imag)
+              for k in range(n)]
+        gi = [fr[k] * float(hf[k].imag) + fi[k] * float(hf[k].real)
+              for k in range(n)]
+        brr, bii = pencil.plane_fft(gr, gi, inverse=True)
+        out = pencil.from_pencil(jnp.concatenate(brr, axis=0), n) / n
+    ref = np.real(np.fft.ifft(np.fft.fft(x.astype(np.complex128)) * hf))
+    assert np.max(np.abs(np.asarray(out) - ref)) < 1e-3
+
+
 def test_pad_and_bounds():
     n = 256
     rng = np.random.default_rng(5)

@@ -121,6 +121,41 @@ def main():
         check(f"c2r pencil rt n={n} highest",
               np.max(np.abs(back - xr)), tol(n, "highest"))
 
+    # composed user kernel: FFT -> per-frequency filter -> IFFT entirely
+    # in VMEM via the public pencil emitters (the reference's __device__
+    # in-kernel-use story, README.md:10), Mosaic-compiled
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from smfft_tpu.ops import pencil as PEN
+    n = 256
+    h = (rng.random(n) - 0.5).astype(np.float32)
+    hf = np.fft.fft(h.astype(np.complex128))
+    hr = [float(v) for v in hf.real]
+    hi = [float(v) for v in hf.imag]
+
+    def conv_kernel(x_ref, o_ref):
+        br = PEN.to_pencil(x_ref[:], n)
+        bi = jnp.zeros_like(br)
+        fr, fi = PEN.plane_fft(PEN.planes(br, n), PEN.planes(bi, n))
+        gr = [fr[k] * hr[k] - fi[k] * hi[k] for k in range(n)]
+        gi = [fr[k] * hi[k] + fi[k] * hr[k] for k in range(n)]
+        brr, _ = PEN.plane_fft(gr, gi, inverse=True)
+        o_ref[:] = PEN.from_pencil(
+            jnp.concatenate(brr, axis=0), n) * np.float32(1.0 / n)
+
+    x = (rng.random((1024, n)) - 0.5).astype(np.float32)
+    spec = pl.BlockSpec((1024, n), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out = jax.jit(lambda v: pl.pallas_call(
+        conv_kernel, grid=(1,), in_specs=[spec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((1024, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(v))(jnp.array(x))
+    ref = np.real(np.fft.ifft(np.fft.fft(x.astype(np.complex128)) * hf))
+    check("composed conv kernel n=256", np.max(np.abs(np.asarray(out) - ref)),
+          1e-3)
+
     # pencil-layout in-VMEM reuse kernel (Mosaic path)
     for n in (256, 1024, 2048):
         x = (rng.random((1024, n)) + 1j * rng.random((1024, n))
