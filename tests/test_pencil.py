@@ -68,6 +68,28 @@ def test_composed_convolution_emitters():
     assert np.max(np.abs(np.asarray(out) - ref)) < 1e-3
 
 
+def test_rfft_ordered_dispatch_natural_layout():
+    """rfft_fused_planar(ordered=True) routes to the pencil kernel and
+    returns the NATURAL-order packed spectrum (slot 0 = (DC, Nyquist));
+    irfft_fused_planar(in_natural=True) inverts it (reference packed
+    contract, FFT-GPU-32bit-Stockham.cu:332-340)."""
+    import numpy as np
+    from smfft_tpu.ops import pallas_real as PR
+
+    n = 256
+    rng = np.random.default_rng(9)
+    x = (rng.random((64, n)) - 0.5).astype(np.float32)
+    o_r, o_i = PR.rfft_fused_planar(jnp.array(x), ordered=True)
+    got = np.asarray(o_r) + 1j * np.asarray(o_i)
+    ref = np.fft.rfft(x.astype(np.float64))
+    assert np.max(np.abs(got[:, 0].real - ref[:, 0].real)) < 1e-4
+    assert np.max(np.abs(got[:, 0].imag - ref[:, n // 2].real)) < 1e-4
+    assert np.max(np.abs(got[:, 1:] - ref[:, 1:n // 2])) < 1e-4
+    back = np.asarray(PR.irfft_fused_planar(o_r, o_i, n,
+                                            in_natural=True)) / (n // 2)
+    assert np.max(np.abs(back - x)) < 1e-4
+
+
 def test_pad_and_bounds():
     n = 256
     rng = np.random.default_rng(5)
