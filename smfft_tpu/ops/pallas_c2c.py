@@ -602,12 +602,24 @@ def _emit_ordered_tdot_rows(pre, pim, consts, precision):
     m_splits = (consts[3], consts[4]) if len(consts) > 3 else None
     zq_r = [_dot_t(m, pre[k], precision, m_splits) for k in range(c)]
     zq_i = [_dot_t(m, pim[k], precision, m_splits) for k in range(c)]
-    t = zq_r[0].shape[1]
+    out_r, out_i = _rows_recon(zq_r, zq_i)
+    return jnp.transpose(out_r), jnp.transpose(out_i)
 
-    def pack(zs):
-        return jnp.stack(zs, axis=1).reshape(c * LANES, t)
-    wr = pack(zq_r)  # (c*128, T): row p*c + k2 = packed row p, chunk k2
-    wi = pack(zq_i)
+
+def _pack_rows(zs, c):
+    """Interleave c (128, T) chunk products into (c*128, T) with row
+    p*c + k2 = packed row p of chunk k2 (one sublane stack)."""
+    t = zs[0].shape[1]
+    return jnp.stack(zs, axis=1).reshape(c * LANES, t)
+
+
+def _rows_recon(zq_r, zq_i):
+    """Row-domain mirror reconstruction of transposed packed products:
+    c chunk products (128, T) -> (c*128, T) rows k = k1*c + k2 of the
+    reconstructed complex lane DFT (see _emit_ordered_tdot_rows)."""
+    c = len(zq_r)
+    wr = _pack_rows(zq_r, c)
+    wi = _pack_rows(zq_i, c)
     h = 64 * c
     u, v = wr[c:h], wi[h + c:]       # cos rows 1..63, sin rows 65..127
     x, y = wr[h + c:], wi[c:h]
@@ -621,7 +633,7 @@ def _emit_ordered_tdot_rows(pre, pim, consts, precision):
         [wr[:c], top_r, wr[h:h + c], blockrev(bsrc_r)], axis=0)
     out_i = jnp.concatenate(
         [wi[:c], top_i, wi[h:h + c], blockrev(bsrc_i)], axis=0)
-    return jnp.transpose(out_r), jnp.transpose(out_i)
+    return out_r, out_i
 
 
 def _late_recon(qr, qi, c):

@@ -7,6 +7,18 @@ Variants (WRONG RESULTS except 'full'): copy_only, no_deint (skip the
 even/odd lane gathers), no_mirror (skip the mirror-spectrum build),
 no_recomb (skip the P/Q recombination).
 
+Measured on v5e at real n = 4096 (copy roofline 658):
+full 424 / no_deint 550 / no_mirror 477 / no_recomb 488 — the
+deinterleave gathers dominate, then recombination, then mirror.
+
+Negative result recorded here: a gather-free two-pipeline "tdot"
+redesign (M = DFT(conj z) as a second packed-dot pipeline whose ladder
+state is a free chunk-permute+conj of Z's; row-domain recon; P/Q as
+per-row tables with the packed slot folded in as P[0]=0, Q[0]=1+i —
+algebra validates to 1e-13) measured only 226 GB/s with ~5 min Mosaic
+compiles: the doubled packed dots are MXU-bound at the real transform's
+8 B/point traffic.  The pencil kernel (465 GB/s at 4096) stays.
+
 Usage: python tools/tune_real.py [real sizes...]
 """
 
