@@ -68,3 +68,18 @@ def sharded_rfft(x: jnp.ndarray, mesh: Mesh, *, backend: str = "auto",
     out_spec = PSpec(axis_name, *([None] * (x.ndim - 1)))
     fn = partial(api.rfft, backend=backend, precision=precision)
     return jax.jit(fn, out_shardings=NamedSharding(mesh, out_spec))(x)
+
+
+def sharded_irfft(spec_arr: jnp.ndarray, mesh: Mesh, n: int, *,
+                  backend: str = "auto", precision: str = "highest",
+                  norm: str | None = "backward",
+                  axis_name: str = "batch"):
+    """Batched C2R inverse with the batch axis sharded across the mesh."""
+    from smfft_tpu import api
+
+    pspec = PSpec(axis_name, *([None] * (spec_arr.ndim - 1)))
+    sharding = NamedSharding(mesh, pspec)
+    spec_arr = jax.device_put(spec_arr, sharding)
+    fn = partial(api.irfft, n=n, backend=backend, precision=precision,
+                 norm=norm)
+    return jax.jit(fn, out_shardings=sharding)(spec_arr)

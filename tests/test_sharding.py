@@ -41,6 +41,17 @@ def test_sharded_rfft(rng):
     assert max_abs_err(y, np.fft.rfft(x.astype(np.float64))) < 1e-4
 
 
+def test_sharded_irfft(rng):
+    from smfft_tpu.parallel.sharding import sharded_irfft
+
+    mesh = batch_mesh()
+    x = (rng.random((64, 512)) - 0.5).astype(np.float32)
+    spec = np.fft.rfft(x.astype(np.float64)).astype(np.complex64)
+    back = sharded_irfft(jnp.array(spec), mesh, 512, backend="xla")
+    assert max_abs_err(back, x) < 1e-4
+    assert len(back.sharding.device_set) == 8
+
+
 def test_sharded_inverse_roundtrip(rng):
     mesh = batch_mesh()
     x = (rng.random((64, 1024)) + 1j * rng.random((64, 1024))
