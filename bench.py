@@ -174,7 +174,7 @@ def main():
                     entry[key] = ffts / (ms * 1e-3) / 1e6
                     log(f"n={n:5d} multiple[{prec}]: {entry[key]:8.1f} "
                         f"MFFT/s ({MULT_ITERS}x in-VMEM)")
-                if 256 <= n <= 2048:
+                if 256 <= n <= 4096:
                     # pencil-layout reuse kernel: one relayout, then
                     # MULT_ITERS pure-VPU radix ladders on VMEM-resident
                     # pencils — the path that reproduces the reference's

@@ -25,10 +25,10 @@ Three products ride this:
    core to shared-memory-resident data (FFT-GPU-32bit.cu:553-572,
    README.md:84-91); the matmul-DFT in-VMEM loop is MXU-bound at
    ~external parity (BENCH_DETAILS "multiple_ablation"), but the pencil
-   ladder re-applies with no per-iteration relayout: 2.2-2.5x external
-   at N = 256-2048 on v5e (e.g. 91.9 vs 40.9 MFFT/s at N = 1024).
-   Per-iteration output is scaled by 1/sqrt(n) to keep 100
-   re-applications bounded.
+   ladder re-applies with no per-iteration relayout: 1.7-2.5x external
+   at N = 256-4096 on v5e (e.g. 91.9 vs 40.9 MFFT/s at N = 1024; 16.6
+   vs 9.8 at N = 4096 with 512-row blocks).  Per-iteration output is
+   scaled by 1/sqrt(n) to keep 100 re-applications bounded.
 2. ``fft_pencil_planar`` — single-pass natural-order C2C for
    N = 256/512, full HBM roofline (658/655 GB/s) where the matmul
    ordered merge pays sub-sublane-granule slices.
@@ -54,26 +54,34 @@ from smfft_tpu.ops import pallas_c2c as _pc
 from smfft_tpu.ops.pallas_c2c import _plane_dft_list
 
 R_BLOCK = 1024  # FFTs per grid block: 8 slabs x 128 lanes
+# n = 4096 runs 512-row blocks (4 slabs): the (1024, 4096) double-
+# buffered pipeline needs 187 MB of VMEM against the chip's 128
+_R_BLOCK_4096 = 512
 
 
-def _to_pencil(x, n):
-    """(1024, n) rows -> pencil (8n, 128): plane j = rows [8j, 8j+8)
-    holds sample j of the 8*128 FFTs (8 slab transposes + one sublane
-    interleave)."""
-    slabs = [jnp.transpose(x[r * 128:(r + 1) * 128, :]) for r in range(8)]
-    return jnp.stack(slabs, axis=1).reshape(8 * n, 128)
+def _r_block(n: int) -> int:
+    return _R_BLOCK_4096 if n >= 4096 else R_BLOCK
 
 
-def _from_pencil(b, n):
-    """Inverse of :func:`_to_pencil`: pencil (8n, 128) -> (1024, n)."""
-    b3 = b.reshape(n, 8, 128)
+def _to_pencil(x, n, slabs: int = 8):
+    """(slabs*128, n) rows -> pencil (slabs*n, 128): plane j = rows
+    [slabs*j, slabs*(j+1)) holds sample j of the slabs*128 FFTs
+    (slab transposes + one sublane interleave)."""
+    sl = [jnp.transpose(x[r * 128:(r + 1) * 128, :]) for r in range(slabs)]
+    return jnp.stack(sl, axis=1).reshape(slabs * n, 128)
+
+
+def _from_pencil(b, n, slabs: int = 8):
+    """Inverse of :func:`_to_pencil`: pencil (slabs*n, 128) ->
+    (slabs*128, n)."""
+    b3 = b.reshape(n, slabs, 128)
     return jnp.concatenate(
-        [jnp.transpose(b3[:, r, :]) for r in range(8)], axis=0)
+        [jnp.transpose(b3[:, r, :]) for r in range(slabs)], axis=0)
 
 
-def _planes(b, n):
-    """Pencil (8n, 128) -> python list of n (8, 128) planes."""
-    return [b[8 * j:8 * (j + 1)] for j in range(n)]
+def _planes(b, n, slabs: int = 8):
+    """Pencil (slabs*n, 128) -> python list of n (slabs, 128) planes."""
+    return [b[slabs * j:slabs * (j + 1)] for j in range(n)]
 
 
 # Public emitter surface — the pencil-domain analogue of the reference's
@@ -106,35 +114,39 @@ def plane_fft(planes_r, planes_i, inverse: bool = False):
 
 
 def _pencil_block(xr, xi, n: int, iters: int, sign: float,
-                  per_iter_scale: bool = True):
-    """The per-(1024, n)-block transform body — pure jnp, shared by the
-    Pallas kernel and the compiled CPU fallback (the interpreter is far
-    too slow for the unrolled n-plane ladder).
+                  per_iter_scale: bool = True, slabs: int = 8):
+    """The per-(slabs*128, n)-block transform body — pure jnp, shared by
+    the Pallas kernel and the compiled CPU fallback (the interpreter is
+    far too slow for the unrolled n-plane ladder).
 
     per_iter_scale multiplies 1/sqrt(n) into each application (keeps the
     100x reuse loop bounded); the single-pass external path turns it off
     for raw unnormalized FFT semantics."""
     scale = np.float32(1.0 / np.sqrt(float(n))) if per_iter_scale else None
 
-    br = _to_pencil(xr, n)
-    bi = _to_pencil(xi, n)
+    br = _to_pencil(xr, n, slabs)
+    bi = _to_pencil(xi, n, slabs)
 
     def body(_, carry):
         cr, ci = carry
-        o_r, o_i = _plane_dft_list(_planes(cr, n), _planes(ci, n), sign)
+        o_r, o_i = _plane_dft_list(_planes(cr, n, slabs),
+                                   _planes(ci, n, slabs), sign)
         o_r = jnp.concatenate(o_r, axis=0)
         o_i = jnp.concatenate(o_i, axis=0)
         if scale is not None:
             o_r, o_i = o_r * scale, o_i * scale
         return o_r, o_i
     br, bi = jax.lax.fori_loop(0, iters, body, (br, bi))
-    return _from_pencil(br, n), _from_pencil(bi, n)
+    return _from_pencil(br, n, slabs), _from_pencil(bi, n, slabs)
 
 
 @functools.lru_cache(maxsize=None)
 def _build(n: int, iters: int, inverse: bool, interpret: bool = False,
            per_iter_scale: bool = True, fused_scale: bool = False):
     sign = +1.0 if inverse else -1.0
+
+    rb = _r_block(n)
+    slabs = rb // 128
 
     if interpret:
         # eager per-block loop on the host platform: the Pallas
@@ -146,10 +158,10 @@ def _build(n: int, iters: int, inverse: bool, interpret: bool = False,
                 if fused_scale:
                     vr = vr * scale
                     vi = vi * scale
-                outs = [_pencil_block(vr[s:s + R_BLOCK],
-                                      vi[s:s + R_BLOCK], n, iters, sign,
-                                      per_iter_scale)
-                        for s in range(0, vr.shape[0], R_BLOCK)]
+                outs = [_pencil_block(vr[s:s + rb],
+                                      vi[s:s + rb], n, iters, sign,
+                                      per_iter_scale, slabs)
+                        for s in range(0, vr.shape[0], rb)]
                 return (jnp.concatenate([o[0] for o in outs], axis=0),
                         jnp.concatenate([o[1] for o in outs], axis=0))
         return run_host
@@ -162,11 +174,12 @@ def _build(n: int, iters: int, inverse: bool, interpret: bool = False,
         else:
             xr_ref, xi_ref, our_ref, oui_ref = refs
             xr, xi = xr_ref[:], xi_ref[:]
-        o_r, o_i = _pencil_block(xr, xi, n, iters, sign, per_iter_scale)
+        o_r, o_i = _pencil_block(xr, xi, n, iters, sign, per_iter_scale,
+                                 slabs)
         our_ref[:] = o_r
         oui_ref[:] = o_i
 
-    spec = pl.BlockSpec((R_BLOCK, n), lambda i: (i, 0),
+    spec = pl.BlockSpec((rb, n), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     scale_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] if fused_scale
                    else [])
@@ -176,7 +189,7 @@ def _build(n: int, iters: int, inverse: bool, interpret: bool = False,
         b = vr.shape[0]
         extra = (scale.reshape(1),) if fused_scale else ()
         return pl.pallas_call(
-            kernel, grid=(b // R_BLOCK,),
+            kernel, grid=(b // rb,),
             in_specs=[spec, spec] + scale_specs, out_specs=(spec, spec),
             out_shape=(jax.ShapeDtypeStruct((b, n), jnp.float32),) * 2,
             compiler_params=pltpu.CompilerParams(
@@ -190,19 +203,18 @@ def multiple_pencil_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
                            iters: int, inverse: bool = False):
     """``iters`` in-VMEM FFT re-applications in pencil layout.
 
-    vr/vi: planar fp32 (B, n), one FFT per row, B a multiple of 1024
-    (padded internally otherwise).  Returns the planar pair after
-    ``iters`` applications, each natural-order and scaled by 1/sqrt(n).
-    Supported for 256 <= n <= 2048 (the n = 4096 unrolled ladder
-    exceeds the Mosaic program budget; callers fall back to the matmul
-    multiple path there).
+    vr/vi: planar fp32 (B, n), one FFT per row, B a multiple of the
+    block row count (padded internally otherwise).  Returns the planar
+    pair after ``iters`` applications, each natural-order and scaled by
+    1/sqrt(n).  Supported for 256 <= n <= 4096 (4096 runs 512-row
+    blocks for VMEM; see _r_block).
     """
-    if not 256 <= n <= 2048:
-        raise ValueError("multiple_pencil supports 256 <= n <= 2048")
+    if not 256 <= n <= 4096:
+        raise ValueError("multiple_pencil supports 256 <= n <= 4096")
     if vr.shape[-1] != n:
         raise ValueError(f"expected row width {n}, got {vr.shape[-1]}")
     rows = vr.shape[0]
-    pad = (-rows) % R_BLOCK
+    pad = (-rows) % _r_block(n)
     if pad:
         zeros = jnp.zeros((pad, n), vr.dtype)
         vr = jnp.concatenate([vr, zeros], axis=0)
