@@ -2,9 +2,9 @@
 
 Built from scratch in JAX/XLA/Pallas with the capabilities of KAdamek/SMFFT
 (reference at /root/reference): statically-specialized batched power-of-two
-fp32 FFTs (N = 32..4096 complex, up to 8192 real) that execute entirely in
-on-chip VMEM — the TPU analogue of the reference's shared-memory-resident
-GPU FFTs (reference README.md:10-14).
+fp32 FFTs (N = 32..8192 complex, up to 16384 real; the reference covers
+32..4096) that execute entirely in on-chip VMEM — the TPU analogue of the
+reference's shared-memory-resident GPU FFTs (reference README.md:10-14).
 
 Design (TPU-first, not a CUDA port):
   * Butterfly stages are expressed as dense DFT-matrix contractions that run
@@ -33,9 +33,10 @@ from smfft_tpu.params import (
     SUPPORTED_REAL_SIZES,
     plan_for,
 )
-from smfft_tpu.api import fft, ifft, rfft, irfft, fft_packed_real
+from smfft_tpu.api import (fft, ifft, ifft_unordered, rfft, irfft,
+                           fft_packed_real)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "FFTParams",
@@ -44,6 +45,7 @@ __all__ = [
     "plan_for",
     "fft",
     "ifft",
+    "ifft_unordered",
     "rfft",
     "irfft",
     "fft_packed_real",

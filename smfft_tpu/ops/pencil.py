@@ -184,6 +184,10 @@ def _build(n: int, iters: int, inverse: bool, interpret: bool = False,
     scale_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] if fused_scale
                    else [])
 
+    # the 4096-plane ladder's live intermediates need ~119 MB of scoped
+    # VMEM even at 512-row blocks; 120 fits (the chip has 128 physical)
+    vmem_mb = 120 if n >= 4096 else 110
+
     @jax.jit
     def run(vr, vi, scale=None):
         b = vr.shape[0]
@@ -193,7 +197,7 @@ def _build(n: int, iters: int, inverse: bool, interpret: bool = False,
             in_specs=[spec, spec] + scale_specs, out_specs=(spec, spec),
             out_shape=(jax.ShapeDtypeStruct((b, n), jnp.float32),) * 2,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=110 * 1024 * 1024,
+                vmem_limit_bytes=vmem_mb * 1024 * 1024,
                 dimension_semantics=("arbitrary",)),
         )(vr, vi, *extra)
     return run
