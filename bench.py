@@ -122,78 +122,80 @@ def main():
                                     ordered=ordered, precision=precision)
                 float(force(out[0]))
             return fsync
-        try:
-            if flags.external:
-                gbs, _ = timed_gbs(mk(), nbytes)
-                entry["external_gbs"] = gbs
+
+        def measure(label, key, fsync, bytes_or_none, ffts=None):
+            """One bench row; its own try + one retry so a flaky remote
+            compile (known intermittent HTTP 500s/hangs on this tunnel)
+            can't void the rest of the size's rows."""
+            for attempt in (0, 1):
+                try:
+                    gbs, ms = timed_gbs(fsync, bytes_or_none or nbytes)
+                    if ffts is not None:
+                        entry[key] = ffts / (ms * 1e-3) / 1e6
+                        log(f"n={n:5d} {label}: {entry[key]:8.1f} MFFT/s "
+                            f"({MULT_ITERS}x in-VMEM)")
+                    else:
+                        entry[key] = gbs
+                        log(f"n={n:5d} {label}: {gbs:6.1f} GB/s")
+                    return gbs
+                except Exception as e:  # noqa: BLE001
+                    if attempt:
+                        entry[key + "_error"] = str(e)[:160]
+                        log(f"n={n:5d} {label} FAILED: {str(e)[:100]}")
+            return None
+
+        if flags.external:
+            gbs = measure("external", "external_gbs", mk(), nbytes)
+            if gbs:
                 entry["external_mffts"] = gbs * 1e9 / 16 / n / 1e6
                 if n in SIZES:
                     ext_gbs.append(gbs)
-                log(f"n={n:5d} external: {gbs:6.1f} GB/s  "
-                    f"{entry['external_mffts']:8.1f} MFFT/s")
-                gbs_i, _ = timed_gbs(mk(inverse=True), nbytes)
-                entry["inverse_gbs"] = gbs_i
-                log(f"n={n:5d} inverse:  {gbs_i:6.1f} GB/s")
-                gbs_o, _ = timed_gbs(mk(ordered=True), nbytes)
-                entry["ordered_gbs"] = gbs_o
-                log(f"n={n:5d} ordered:  {gbs_o:6.1f} GB/s")
-                # fused real transforms: 4B in + 4B out per real sample.
-                # natural-order spectra (the reference's Stockham
-                # R2C/C2R are always ordered): pencil kernel n <= 4096,
-                # matmul kernel + in-kernel digit swap above
-                if n >= 256:
-                    x_real = devdata(rows_n, n, 3 * n)
+            measure("inverse ", "inverse_gbs", mk(inverse=True), nbytes)
+            measure("ordered ", "ordered_gbs", mk(ordered=True), nbytes)
+            # fused real transforms: 4B in + 4B out per real sample.
+            # natural-order spectra (the reference's Stockham R2C/C2R
+            # are always ordered): pencil kernel n <= 4096, matmul
+            # kernel + in-kernel digit swap above
+            if n >= 256:
+                x_real = devdata(rows_n, n, 3 * n)
 
-                    def f_r2c():
-                        out = PR.rfft_fused_planar(x_real, ordered=True)
-                        float(force(out[0]))
-                    g_r2c, _ = timed_gbs(f_r2c, rows_n * n * 8)
-                    entry["r2c_gbs"] = g_r2c
-                    log(f"n={n:5d} r2c:      {g_r2c:6.1f} GB/s")
+                def f_r2c():
+                    out = PR.rfft_fused_planar(x_real, ordered=True)
+                    float(force(out[0]))
+                measure("r2c     ", "r2c_gbs", f_r2c, rows_n * n * 8)
 
-                    hr = devdata(rows_n, n // 2, 3 * n + 1)
-                    hi = devdata(rows_n, n // 2, 3 * n + 2)
+                hr = devdata(rows_n, n // 2, 3 * n + 1)
+                hi = devdata(rows_n, n // 2, 3 * n + 2)
 
-                    def f_c2r():
-                        out = PR.irfft_fused_planar(hr, hi, n,
-                                                    in_natural=True)
-                        float(force(out))
-                    g_c2r, _ = timed_gbs(f_c2r, rows_n * n * 8)
-                    entry["c2r_gbs"] = g_c2r
-                    log(f"n={n:5d} c2r:      {g_c2r:6.1f} GB/s")
-            if flags.multiple:
-                # multiple: one kernel with MULT_ITERS in-VMEM
-                # re-applications per tile (single HBM pass bracketing),
-                # exactly the reference's NREUSES contract — device time
-                # of that one kernel, directly
-                for prec, key in (("highest", "multiple_mffts"),
-                                  ("fast", "multiple_fast_mffts")):
-                    _, ms = timed_gbs(mk(mult=MULT_ITERS, precision=prec),
-                                      nbytes)
-                    ffts = rows_n * ncols // n * MULT_ITERS
-                    entry[key] = ffts / (ms * 1e-3) / 1e6
-                    log(f"n={n:5d} multiple[{prec}]: {entry[key]:8.1f} "
-                        f"MFFT/s ({MULT_ITERS}x in-VMEM)")
-                if 256 <= n <= 4096:
-                    # pencil-layout reuse kernel: one relayout, then
-                    # MULT_ITERS pure-VPU radix ladders on VMEM-resident
-                    # pencils — the path that reproduces the reference's
-                    # 1.5-5x in-kernel-reuse speedup (ops/pencil.py)
-                    from smfft_tpu.ops import pencil as PEN
+                def f_c2r():
+                    out = PR.irfft_fused_planar(hr, hi, n,
+                                                in_natural=True)
+                    float(force(out))
+                measure("c2r     ", "c2r_gbs", f_c2r, rows_n * n * 8)
+        if flags.multiple:
+            # multiple: one kernel with MULT_ITERS in-VMEM
+            # re-applications per tile (single HBM pass bracketing),
+            # exactly the reference's NREUSES contract — device time
+            # of that one kernel, directly
+            ffts = rows_n * ncols // n * MULT_ITERS
+            for prec, key in (("highest", "multiple_mffts"),
+                              ("fast", "multiple_fast_mffts")):
+                measure(f"multiple[{prec}]", key,
+                        mk(mult=MULT_ITERS, precision=prec), nbytes,
+                        ffts=ffts)
+            if 256 <= n <= 4096:
+                # pencil-layout reuse kernel: one relayout, then
+                # MULT_ITERS pure-VPU radix ladders on VMEM-resident
+                # pencils — the path that reproduces the reference's
+                # 1.5-5x in-kernel-reuse speedup (ops/pencil.py)
+                from smfft_tpu.ops import pencil as PEN
 
-                    def f_pen():
-                        out = PEN.multiple_pencil_planar(
-                            vr, vi, n, iters=MULT_ITERS)
-                        float(force(out[0]))
-                    _, ms = timed_gbs(f_pen, nbytes)
-                    ffts = rows_n * MULT_ITERS
-                    entry["multiple_pencil_mffts"] = ffts / (ms * 1e-3) / 1e6
-                    log(f"n={n:5d} multiple[pencil]: "
-                        f"{entry['multiple_pencil_mffts']:8.1f} MFFT/s "
-                        f"({MULT_ITERS}x in-VMEM)")
-        except Exception as e:  # noqa: BLE001
-            entry["error"] = str(e)[:200]
-            log(f"n={n:5d} FAILED: {str(e)[:120]}")
+                def f_pen():
+                    out = PEN.multiple_pencil_planar(
+                        vr, vi, n, iters=MULT_ITERS)
+                    float(force(out[0]))
+                measure("multiple[pencil]", "multiple_pencil_mffts",
+                        f_pen, nbytes, ffts=rows_n * MULT_ITERS)
         details["sizes"][str(n)] = entry
 
     # XLA-native jnp.fft comparison at N=1024 (same method)

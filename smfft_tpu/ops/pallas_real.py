@@ -333,8 +333,10 @@ def rfft_fused_planar(x: jnp.ndarray, precision: str = "highest",
         x = jnp.concatenate(
             [x, jnp.zeros((pad, n), x.dtype)], axis=0)
     b = x.shape[0]
-    # device-profiled best on v5e across 512-8192 (tools, round 2)
-    tile = tile_t or 512
+    # device-profiled best on v5e across 512-8192 (tools, round 2);
+    # the ordered digit-swap at c >= 32 blows the Mosaic compile at
+    # tile 512 — 128 compiles and measures best there
+    tile = tile_t or (128 if (ordered and n >= 8192) else 512)
     while tile > 8 and b % tile:
         tile //= 2
     if b % tile:
@@ -573,8 +575,9 @@ def irfft_fused_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
         vr = jnp.concatenate([vr, zeros], axis=0)
         vi = jnp.concatenate([vi, zeros], axis=0)
     b = vr.shape[0]
-    # device-profiled best on v5e across 512-8192 (tools, round 2)
-    tile = tile_t or 512
+    # device-profiled best on v5e across 512-8192 (tools, round 2);
+    # see rfft_fused_planar for the n >= 8192 natural-layout tile
+    tile = tile_t or (128 if (in_natural and n >= 8192) else 512)
     while tile > 8 and b % tile:
         tile //= 2
     if b % tile:
