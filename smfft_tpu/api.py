@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from smfft_tpu import params as P
-from smfft_tpu.models import cooley_tukey, stockham, real as real_model
+from smfft_tpu.models import cooley_tukey, real as real_model
 from smfft_tpu.ops import matmul_fft
 
 Backend = Literal["pallas", "xla", "spec", "auto"]

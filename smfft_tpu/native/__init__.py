@@ -10,7 +10,6 @@ host-side C for the same reason).
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

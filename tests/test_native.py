@@ -68,7 +68,6 @@ def test_native_matches_numpy_fallback():
     lib = native._lib
     native._lib, native._tried = None, True
     try:
-        import importlib
         st_numpy = native.compare(got, want)
     finally:
         native._lib, native._tried = lib, True

@@ -20,7 +20,6 @@ PLANE_MB = 512
 
 
 def main():
-    import numpy as np
     import jax
     import jax.numpy as jnp
     from smfft_tpu.ops import pallas_c2c as PC
