@@ -90,18 +90,11 @@ _ABLATE = ""
 #   "tdot_late"    like tdot_rows but mirror reconstruction LAST in the
 #                  natural lane domain (slices/adds + within-tile static
 #                  gather) — the lane gathers cost ~15-20% of roofline.
-#   "swap"         digit_swap_merge (transposes + sublane stack)
-#   "concat_probe" transposes + plain concat — WRONG RESULT, isolates the
-#                  row-interleave (stack) cost from the transpose cost
-#   "nostack_probe" stack+interleave only, no transposes — WRONG RESULT,
-#                  isolates the transpose cost
-#   "mxu_small"    small per-chunk transposes on the MXU (exact 2-pass
-#                  bf16 split against identity), big transpose on the XLU
-#   "tdot4"        lane DFT emitted TRANSPOSED by the MXU (reversed
-#                  dot_general dims, unpacked C/S matrices, 4 dots) —
-#                  no per-chunk transposes at all
-#   "tdot_sym"     packed-matrix transposed dots (2) + sublane-axis
-#                  mirror reconstruction
+#   "swap"         digit_swap_merge (per-chunk transposes + sublane
+#                  stack + wide transpose; also the n >= 8192 real path)
+# (retired probe variants — tdot4, tdot_sym, mxu_small, widetrans,
+#  rank3, concat/nostack probes — are recorded with their measurements
+#  in the git history and tools/; they no longer ship in this module.)
 _MERGE = "tdot_rows"
 
 # Interpret mode runs the kernels through the Pallas interpreter (any
@@ -211,24 +204,17 @@ def const_arrays(n: int, inverse: bool, precision: str = "highest"):
 
     Layout (symmetry-packed scheme, all sizes):
       [t_re, t_im, M]  (+ M_hi, M_lo bf16 splits for "fast")
-      (+ G_re, G_im unpacked DFT matrices when the tdot4 merge probe is
-       active)
     """
-    _, _, t_re, t_im, g_re, g_im = _tables(n, inverse)
+    _, _, t_re, t_im, _, _ = _tables(n, inverse)
     m = _sym_matrix(n, inverse)
     base = [t_re, t_im, m]
     if precision in _SPLIT2:
         base.extend(_np_split_bf16(m))
-    if _MERGE == "tdot4":
-        base.extend([g_re, g_im])
     return tuple(base)
 
 
 def n_consts(n: int, precision: str = "highest") -> int:
-    nc = 5 if precision in _SPLIT2 else 3
-    if _MERGE == "tdot4":
-        nc += 2
-    return nc
+    return 5 if precision in _SPLIT2 else 3
 
 
 def read_consts(refs):
@@ -425,21 +411,6 @@ def digit_swap_split(x, c):
     return [jnp.transpose(xt[:, k2, :]) for k2 in range(c)]
 
 
-def _mxu_transpose(x):
-    """Exact fp32 transpose on the MXU: split x into a bf16 (hi, lo) pair
-    and contract each against the fp32 identity over the leading dim
-    (two bf16 passes; exact because I is exactly representable)."""
-    t = x.shape[0]
-    eye = jnp.eye(t, dtype=jnp.bfloat16)
-    dims = (((0,), (0,)), ((), ()))
-    xh = x.astype(jnp.bfloat16)
-    r1 = x - xh.astype(jnp.float32)
-    xm = r1.astype(jnp.bfloat16)
-    xl = (r1 - xm.astype(jnp.float32)).astype(jnp.bfloat16)
-    return (_bdot(xh, eye, dims) + _bdot(xm, eye, dims)
-            + _bdot(xl, eye, dims))
-
-
 def digit_swap_merge(chunks):
     """Merge c equal-width (T, 128) streams into natural order
     out[t, k1*c + k2] = chunks[k2][t, k1] via the transpose unit:
@@ -449,27 +420,8 @@ def digit_swap_merge(chunks):
     vs ~3*log2(c) gather ops/point for the riffle."""
     c = len(chunks)
     t = chunks[0].shape[0]
-    if _MERGE == "nostack_probe":
-        # WRONG RESULT (perf probe): stack + big transpose without the
-        # per-chunk transposes; requires square tiles so shapes line up
-        assert t == LANES, "nostack_probe needs tile_t == 128"
-        r = jnp.stack(chunks, axis=1).reshape(c * LANES, t)
-        return jnp.transpose(r)
-    if _MERGE in ("widetrans", "rank3"):
-        big = jnp.transpose(_cat_lanes(chunks))  # (c*128, T), one pass
-        if _MERGE == "rank3":
-            r3 = big.reshape(c, LANES, t)
-            r = jax.lax.transpose(r3, (1, 0, 2)).reshape(c * LANES, t)
-        else:
-            zt = [big[k2 * LANES:(k2 + 1) * LANES] for k2 in range(c)]
-            r = jnp.stack(zt, axis=1).reshape(c * LANES, t)
-        return jnp.transpose(r)
-    tr = _mxu_transpose if _MERGE == "mxu_small" else jnp.transpose
-    zt = [tr(ch) for ch in chunks]
-    if _MERGE == "concat_probe":
-        r = jnp.concatenate(zt, axis=0)  # WRONG RESULT (perf probe)
-    else:
-        r = jnp.stack(zt, axis=1).reshape(c * LANES, t)
+    zt = [jnp.transpose(ch) for ch in chunks]
+    r = jnp.stack(zt, axis=1).reshape(c * LANES, t)
     return jnp.transpose(r)
 
 
@@ -486,55 +438,6 @@ def _dot_t(g, x, precision, g_splits=None):
     return jax.lax.dot_general(
         g, x, dimension_numbers=dims,
         precision=enum, preferred_element_type=jnp.float32)
-
-
-def _sym_recon_rows(p_r, p_i, nb: int = LANES):
-    """_sym_recon with the packed-frequency axis on SUBLANES (axis 0)
-    for (128, T)-shaped transposed products."""
-    shape = p_r.shape
-    half = nb // 2
-    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    j = row % nb if nb < LANES else row
-    blk = row - j
-    min_j = jnp.minimum(j, nb - j)
-    idx_c = blk + min_j
-    idx_s = blk + half + (min_j % half)
-    sign = jnp.where((j == 0) | (j == half), 0.0,
-                     jnp.where(j < half, 1.0, -1.0))
-    c_r = jnp.take_along_axis(p_r, idx_c, axis=0)
-    c_i = jnp.take_along_axis(p_i, idx_c, axis=0)
-    s_r = sign * jnp.take_along_axis(p_r, idx_s, axis=0)
-    s_i = sign * jnp.take_along_axis(p_i, idx_s, axis=0)
-    return c_r - s_i, s_r + c_i
-
-
-def _emit_ordered_tdot(pre, pim, consts, precision):
-    """Ordered output via MXU-transposed lane DFTs: per twiddled chunk,
-    emit zt[k2] = (chunk-DFT)^T (128, T) directly from the matmul, then
-    one sublane interleave + one wide transpose per plane — the c
-    per-chunk transpose passes vanish."""
-    c = len(pre)
-    if _MERGE == "tdot4":
-        g_re, g_im = consts[-2], consts[-1]
-        zr = [_dot_t(g_re, pre[k], precision)
-              - _dot_t(g_im, pim[k], precision) for k in range(c)]
-        zi = [_dot_t(g_im, pre[k], precision)
-              + _dot_t(g_re, pim[k], precision) for k in range(c)]
-    else:  # tdot_sym
-        m = consts[2]
-        zr, zi = [], []
-        for k in range(c):
-            p_r = _dot_t(m, pre[k], precision)
-            p_i = _dot_t(m, pim[k], precision)
-            o_r, o_i = _sym_recon_rows(p_r, p_i)
-            zr.append(o_r)
-            zi.append(o_i)
-    t = zr[0].shape[1]
-
-    def merge(zs):
-        r = jnp.stack(zs, axis=1).reshape(c * LANES, t)
-        return jnp.transpose(r)
-    return merge(zr), merge(zi)
 
 
 def _emit_ordered_tdot_late(pre, pim, consts, precision):
@@ -718,8 +621,6 @@ def emit_fft(xr, xi, consts, *, n: int, inverse: bool = False,
             tr, ti = t_re[k2, :], t_im[k2, :]
             pre[k2], pim[k2] = (pre[k2] * tr - pim[k2] * ti,
                                 pre[k2] * ti + pim[k2] * tr)
-    if ordered and _MERGE in ("tdot4", "tdot_sym"):
-        return _emit_ordered_tdot(pre, pim, consts, precision)
     if ordered and _MERGE == "tdot_late":
         return _emit_ordered_tdot_late(pre, pim, consts, precision)
     if ordered and _MERGE == "tdot_rows":
@@ -958,7 +859,11 @@ def fft_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
         plan = P.plan_for(n, "inverse" if inverse else "forward", "c2c",
                           ordered)
     if (plan.ordered and not rev_in and multiple_iters == 0
-            and tile_t is None and n in _PENCIL_ORDERED):
+            and tile_t is None and n in _PENCIL_ORDERED
+            and precision in ("highest", "high")):
+        # the pencil ladder is pure fp32 VPU ("highest"-class); other
+        # precision modes keep the matmul kernel so their bf16 MXU
+        # semantics are actually exercised
         from smfft_tpu.ops import pencil
         return pencil.fft_pencil_planar(
             vr, vi, n, inverse=plan.direction == "inverse", scale=scale)

@@ -320,11 +320,13 @@ def rfft_fused_planar(x: jnp.ndarray, precision: str = "highest",
     if n < 256 or n not in P.SUPPORTED_REAL_SIZES:
         raise ValueError(f"rfft_fused requires real n in "
                          f"{[s for s in P.SUPPORTED_REAL_SIZES if s >= 256]}")
-    if ordered and n <= 4096 and tile_t is None:
+    if (ordered and n <= 4096 and tile_t is None
+            and precision in ("highest", "high")):
         # natural-order spectra come from the pencil kernel at full
         # bandwidth (every structural op is a free plane-list
-        # manipulation there — ops/pencil.py); n = 8192 stays on the
-        # matmul kernel + in-kernel digit swap
+        # manipulation there — ops/pencil.py); n = 8192 and the bf16
+        # precision modes stay on the matmul kernel (the pencil ladder
+        # is pure fp32 VPU)
         from smfft_tpu.ops import pencil
         return pencil.rfft_pencil_planar(x, n)
     rows = x.shape[0]
@@ -351,8 +353,9 @@ def rfft_fused_planar(x: jnp.ndarray, precision: str = "highest",
 
 def rfft_pallas_fused(x: jnp.ndarray, precision: str = "highest",
                       packed: bool = False) -> jnp.ndarray:
-    """Fused R2C with natural-order output (XLA transpose epilogue over
-    the packed revblock layout); numpy (..., n/2+1) or packed (..., n/2)."""
+    """Fused R2C with natural-order output, entirely in-kernel (pencil
+    kernel for n <= 4096, matmul kernel + in-kernel digit swap above —
+    no XLA relayout pass); numpy (..., n/2+1) or packed (..., n/2)."""
     n = x.shape[-1]
     batch_shape = x.shape[:-1]
     xb = x.reshape((-1, n))
@@ -562,10 +565,11 @@ def irfft_fused_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
     if n < 256 or n not in P.SUPPORTED_REAL_SIZES:
         raise ValueError(f"irfft_fused requires real n in "
                          f"{[s for s in P.SUPPORTED_REAL_SIZES if s >= 256]}")
-    if in_natural and n <= 4096 and tile_t is None:
+    if (in_natural and n <= 4096 and tile_t is None
+            and precision in ("highest", "high")):
         # natural-order packed spectrum -> pencil kernel (see
-        # rfft_fused_planar); n = 8192 stays on the matmul kernel with
-        # the in-kernel digit_swap_split
+        # rfft_fused_planar); n = 8192 and the bf16 precision modes
+        # stay on the matmul kernel with the in-kernel digit_swap_split
         from smfft_tpu.ops import pencil
         return pencil.irfft_pencil_planar(vr, vi, n)
     rows = vr.shape[0]

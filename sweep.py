@@ -42,7 +42,8 @@ def main():
     print("| FFT size | " + " | ".join(h for _, h in COLS) + " |")
     print("|---:|" + "---:|" * len(COLS))
     for n, e in sorted(d["sizes"].items(), key=lambda kv: int(kv[0])):
-        if "error" in e and "external_gbs" not in e:
+        if "external_gbs" not in e and any(k.endswith("_error")
+                                           for k in e):
             print(f"| {n} |" + " error |" * len(COLS))
             continue
         cells = []

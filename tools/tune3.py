@@ -81,7 +81,7 @@ def main():
         nbytes = 4 * rows_n * ncols * 4
         s = jnp.float32(1.0)
 
-        def run_case(label, ablate="", merge="swap", ordered=False,
+        def run_case(label, ablate="", merge=PC._MERGE, ordered=False,
                      tile=256, precision="highest"):
             PC._ABLATE = ablate
             PC._MERGE = merge
@@ -101,7 +101,7 @@ def main():
                       flush=True)
             finally:
                 PC._ABLATE = ""
-                PC._MERGE = "swap"
+                PC._MERGE = "tdot_rows"  # the product default
 
         run_case("copy_only", ablate="copy_only")
         run_case("no_matmul (plane+twid)", ablate="no_matmul")
@@ -109,15 +109,11 @@ def main():
         run_case("no_twiddle (plane+mm)", ablate="no_twiddle")
         run_case("full unordered")
         run_case("full unordered fast", precision="fast")
-        run_case("ordered/swap t128", ordered=True, tile=128)
-        run_case("ordered/swap t256", ordered=True, tile=256)
-        run_case("ordered/concat_probe", merge="concat_probe",
-                 ordered=True, tile=128)
-        run_case("ordered/nostack_probe", merge="nostack_probe",
-                 ordered=True, tile=128)
-        run_case("ordered/mxu_small t128", merge="mxu_small",
-                 ordered=True, tile=128)
-        run_case("ordered/mxu_small t256", merge="mxu_small",
+        run_case("ordered/tdot_rows t128", ordered=True, tile=128)
+        run_case("ordered/tdot_rows t256", ordered=True, tile=256)
+        run_case("ordered/tdot_late t256", merge="tdot_late",
+                 ordered=True, tile=256)
+        run_case("ordered/swap t256", merge="swap",
                  ordered=True, tile=256)
     PC._build.cache_clear()
 

@@ -1,13 +1,19 @@
 #!/usr/bin/env python
-"""Device-timed stage ablation of the ordered (tdot_late) path.
+"""Device-timed stage ablation of the ordered (tdot_rows) product path.
 
 Variants per size (tuned tile):
-  unordered  — kernel A unordered (the 656 GB/s floor)
-  ordered    — full tdot_late (product path)
-  norecon    — dots + pack(interleave) + wide transpose, skip _late_recon
-               (WRONG RESULT; isolates the mirror-recon cost)
+  unordered  — kernel A unordered (the ~656 GB/s floor)
+  ordered    — full tdot_rows (product path)
+  norecon    — dots + pack (sublane interleave) + wide transpose, skip
+               the row-domain mirror recon (WRONG RESULT; isolates the
+               recon's slice/add cost)
   nostack    — dots + plain concat + wide transpose (WRONG RESULT;
                isolates the sublane-interleave cost vs concat)
+
+Historical v5e results (when the lane-domain tdot_late was the
+product): unordered 656 / ordered 487-537 / norecon 537-648 /
+nostack 563-658 — the lane-gather recon was the entire gap, which is
+what motivated the row-domain tdot_rows recon.
 
 Usage: python tools/tune_ordered2.py [sizes...]
 """
@@ -25,8 +31,9 @@ def main():
     from smfft_tpu.ops import pallas_c2c as PC
     from smfft_tpu.utils.prof_timing import device_time_ms
 
-    sizes = [int(a) for a in sys.argv[1:]] or [512, 1024, 2048, 4096]
-    print(f"device: {jax.devices()[0].device_kind}", flush=True)
+    sizes = [int(a) for a in sys.argv[1:]] or [1024, 2048, 4096]
+    print(f"device: {jax.devices()[0].device_kind} "
+          f"(merge={PC._MERGE})", flush=True)
 
     force = jax.jit(lambda a: jnp.sum(jnp.abs(a[:1, :8])))
 
@@ -35,32 +42,23 @@ def main():
             jax.random.PRNGKey(seed), (rows, cols), jnp.float32,
             -0.5, 0.5))()
 
-    real_late = PC._late_recon
+    real_recon = PC._rows_recon
+    real_pack = PC._pack_rows
 
-    def norecon(qr, qi, c):
-        return qr, qi
+    def norecon(zq_r, zq_i):
+        c = len(zq_r)
+        return PC._pack_rows(zq_r, c), PC._pack_rows(zq_i, c)
+
+    def nostack_pack(zs, c):
+        return jnp.concatenate(zs, axis=0)  # WRONG row order (probe)
 
     def run_variant(n, variant, vr, vi, nbytes):
         PC._build.cache_clear()
         if variant == "norecon":
-            PC._late_recon = norecon
-        else:
-            PC._late_recon = real_late
-        if variant == "nostack":
-            orig_pack = PC._emit_ordered_tdot_late
-
-            def nostack_emit(pre, pim, consts, precision):
-                c = len(pre)
-                m = consts[2]
-                ms = (consts[3], consts[4]) if len(consts) > 3 else None
-                zq_r = [PC._dot_t(m, pre[k], precision, ms)
-                        for k in range(c)]
-                zq_i = [PC._dot_t(m, pim[k], precision, ms)
-                        for k in range(c)]
-                qr = jnp.transpose(jnp.concatenate(zq_r, axis=0))
-                qi = jnp.transpose(jnp.concatenate(zq_i, axis=0))
-                return qr, qi
-            PC._emit_ordered_tdot_late = nostack_emit
+            PC._rows_recon = norecon
+        elif variant == "nostack":
+            PC._rows_recon = norecon
+            PC._pack_rows = nostack_pack
         try:
             ordered = variant != "unordered"
 
@@ -71,9 +69,8 @@ def main():
             ms = device_time_ms(fsync, reps=5, match=r"^jit_run")
             return nbytes / ms / 1e6
         finally:
-            PC._late_recon = real_late
-            if variant == "nostack":
-                PC._emit_ordered_tdot_late = orig_pack
+            PC._rows_recon = real_recon
+            PC._pack_rows = real_pack
             PC._build.cache_clear()
 
     for n in sizes:
