@@ -183,19 +183,28 @@ def main():
                 measure(f"multiple[{prec}]", key,
                         mk(mult=MULT_ITERS, precision=prec), nbytes,
                         ffts=ffts)
-            if 256 <= n <= 4096:
+            if 32 <= n <= 4096:
                 # pencil-layout reuse kernel: one relayout, then
                 # MULT_ITERS pure-VPU radix ladders on VMEM-resident
                 # pencils — the path that reproduces the reference's
-                # 1.5-5x in-kernel-reuse speedup (ops/pencil.py)
+                # 1.5-5x in-kernel-reuse speedup (ops/pencil.py).
+                # pencil rows are one-FFT-per-row at any width, so
+                # n < 128 uses unpacked (rows, n) arrays (same traffic)
                 from smfft_tpu.ops import pencil as PEN
+
+                if n < 128:
+                    rows_p = rows_n * (128 // n)
+                    pr = devdata(rows_p, n, 5 * n)
+                    pi = devdata(rows_p, n, 5 * n + 1)
+                else:
+                    rows_p, pr, pi = rows_n, vr, vi
 
                 def f_pen():
                     out = PEN.multiple_pencil_planar(
-                        vr, vi, n, iters=MULT_ITERS)
+                        pr, pi, n, iters=MULT_ITERS)
                     float(force(out[0]))
                 measure("multiple[pencil]", "multiple_pencil_mffts",
-                        f_pen, nbytes, ffts=rows_n * MULT_ITERS)
+                        f_pen, nbytes, ffts=rows_p * MULT_ITERS)
         details["sizes"][str(n)] = entry
 
     # XLA-native jnp.fft comparison at N=1024 (same method)

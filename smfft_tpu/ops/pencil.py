@@ -25,10 +25,12 @@ Three products ride this:
    core to shared-memory-resident data (FFT-GPU-32bit.cu:553-572,
    README.md:84-91); the matmul-DFT in-VMEM loop is MXU-bound at
    ~external parity (BENCH_DETAILS "multiple_ablation"), but the pencil
-   ladder re-applies with no per-iteration relayout: 1.7-2.5x external
-   at N = 256-4096 on v5e (e.g. 91.9 vs 40.9 MFFT/s at N = 1024; 16.6
-   vs 9.8 at N = 4096 with 512-row blocks).  Per-iteration output is
-   scaled by 1/sqrt(n) to keep 100 re-applications bounded.
+   ladder re-applies with no per-iteration relayout: reuse ratios of
+   4.2/3.4/3.1/2.7/2.5/2.3/2.1/1.7x external across N = 32..4096 on
+   v5e (the reference's own curve: 5.1/4.1/3.0/2.6/2.3/2.1/1.8/1.6x) —
+   e.g. 5350 MFFT/s at N = 32, 92 at N = 1024, 16.6 at N = 4096 with
+   512-row blocks.  Per-iteration output is scaled by 1/sqrt(n) to
+   keep 100 re-applications bounded.
 2. ``fft_pencil_planar`` — single-pass natural-order C2C for
    N = 256/512, full HBM roofline (658/655 GB/s) where the matmul
    ordered merge pays sub-sublane-granule slices.
@@ -207,14 +209,16 @@ def multiple_pencil_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
                            iters: int, inverse: bool = False):
     """``iters`` in-VMEM FFT re-applications in pencil layout.
 
-    vr/vi: planar fp32 (B, n), one FFT per row, B a multiple of the
-    block row count (padded internally otherwise).  Returns the planar
-    pair after ``iters`` applications, each natural-order and scaled by
-    1/sqrt(n).  Supported for 256 <= n <= 4096 (4096 runs 512-row
+    vr/vi: planar fp32 (B, n), one FFT per row — note n < 128 rows here
+    are NOT lane-packed (unlike fft_planar): the pencil transposes rows
+    into planes, so each row is one transform at any width.  B is
+    padded internally to the block row count.  Returns the planar pair
+    after ``iters`` applications, each natural-order and scaled by
+    1/sqrt(n).  Supported for 32 <= n <= 4096 (4096 runs 512-row
     blocks for VMEM; see _r_block).
     """
-    if not 256 <= n <= 4096:
-        raise ValueError("multiple_pencil supports 256 <= n <= 4096")
+    if not 32 <= n <= 4096:
+        raise ValueError("multiple_pencil supports 32 <= n <= 4096")
     if vr.shape[-1] != n:
         raise ValueError(f"expected row width {n}, got {vr.shape[-1]}")
     rows = vr.shape[0]

@@ -14,8 +14,8 @@ def _interp():
     yield
 
 
-def test_single_application_matches_numpy():
-    n = 256
+@pytest.mark.parametrize("n", [32, 128, 256])
+def test_single_application_matches_numpy(n):
     rng = np.random.default_rng(3)
     x = (rng.random((1024, n)) + 1j * rng.random((1024, n))
          - 0.5 - 0.5j).astype(np.complex64)

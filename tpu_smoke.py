@@ -157,7 +157,7 @@ def main():
           1e-3)
 
     # pencil-layout in-VMEM reuse kernel (Mosaic path)
-    for n in (256, 1024, 4096):
+    for n in (32, 256, 1024, 4096):
         x = (rng.random((1024, n)) + 1j * rng.random((1024, n))
              - 0.5 - 0.5j).astype(np.complex64)
         ref = np.fft.fft(x.astype(np.complex128))
