@@ -43,13 +43,37 @@ def _resolve_backend(backend: Backend) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+_warned_precisions: set[str] = set()
+
+#: MXU precision tiers (see ops/pallas_c2c.py for the pass schemes):
+#:   "highest" — numpy-grade fp32 (6 bf16 MXU passes); the default.
+#:   "high"    — meets the reference's 1e-4 verification gate (FFT.c:12)
+#:               at every supported size at reduced MXU cost.
+#:   "fast"    — bf16x3 throughput mode; OUTSIDE the 1e-4 absolute gate
+#:               for N >= 256 (max abs err ~4e-4 at N=4096) — benchmark /
+#:               throughput use only.
+#:   "default" — single bf16 pass; UNUSABLE accuracy (max abs err ~0.1-0.2
+#:               at N >= 1024), kept only as a hardware-parity knob.
+#:               Requesting it emits a UserWarning.
+
+
 def _resolve_precision(precision: str | None) -> str:
     """None -> the process-level default (config.flags.precision, the
     SMFFT_PRECISION analogue of the reference's debug.h compile flags)."""
-    if precision is not None:
-        return precision
-    from smfft_tpu.config import flags
-    return flags.precision
+    if precision is None:
+        from smfft_tpu.config import flags
+        precision = flags.precision
+    if precision == "default" and precision not in _warned_precisions:
+        import warnings
+        _warned_precisions.add(precision)
+        warnings.warn(
+            "precision='default' is a single-bf16-pass hardware-parity "
+            "knob with UNUSABLE accuracy (max abs err ~0.1-0.2 at "
+            "N >= 1024; see BENCH_DETAILS.json). Use 'highest' "
+            "(numpy-grade), 'high' (1e-4 gate at reduced cost), or "
+            "'fast' (throughput mode, outside the 1e-4 gate for N >= "
+            "256).", UserWarning, stacklevel=3)
+    return precision
 
 
 def _check_c2c(n: int):
@@ -86,7 +110,10 @@ def fft(x: jnp.ndarray, ordered: bool = True, backend: Backend = "auto",
       ordered: natural-order output (reference ``fft_reorder=1``); False
         returns digit-reversed output at lower cost (``fft_reorder=0``).
       backend: "auto" | "pallas" | "xla" | "spec".
-      precision: MXU precision for matmul backends.
+      precision: MXU precision tier — "highest" (numpy-grade, default) |
+        "high" (1e-4 gate, cheaper) | "fast" (throughput-only, outside
+        the 1e-4 gate for N >= 256) | "default" (parity knob, unusable
+        accuracy — warns).  See the tier notes above _resolve_precision.
     """
     return _c2c(x, inverse=False, ordered=ordered, backend=backend,
                 precision=precision)

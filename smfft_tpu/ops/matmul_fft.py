@@ -22,9 +22,12 @@ Digit bookkeeping (derivation in docstring of :func:`_fft_stages`):
     reference's ``fft_reorder=0`` cheap path).
 
 Precision: fp32 data with ``precision`` selecting the MXU pass scheme —
-"highest" (bf16x6, ~fp32-exact, default), "high" (>= bf16x5 accuracy, meets the reference 1e-4 gate), "fast" (bf16x3), "default"
-(single-pass bf16).  Twiddle/DFT tables are computed in float64 and rounded
-once to fp32 (vs the reference's fast-math sincosf, FFT-GPU-32bit.cu:18-28).
+"highest" (bf16x6, ~fp32-exact, default), "high" (the 1e-4-gate contract
+tier; on this XLA path it simply runs HIGHEST — the per-size manual
+split schemes live in the Pallas path, pallas_c2c.resolve_scheme),
+"fast" (bf16x3), "default" (single-pass bf16).  Twiddle/DFT tables are
+computed in float64 and rounded once to fp32 (vs the reference's
+fast-math sincosf, FFT-GPU-32bit.cu:18-28).
 """
 
 from __future__ import annotations

@@ -155,18 +155,46 @@ def _np_split_bf16(m):
     return hi, lo
 
 
+def _np_split_bf16_3(m):
+    """numpy fp32 -> (hi, mid, lo) bf16 triple with m == hi + mid + lo
+    exactly (3 x 8 mantissa bits cover fp32's 24)."""
+    import jax.numpy as _jnp
+    mj = _jnp.asarray(m)
+    hi = mj.astype(_jnp.bfloat16)
+    r1 = mj - hi.astype(_jnp.float32)
+    mid = r1.astype(_jnp.bfloat16)
+    lo = (r1 - mid.astype(_jnp.float32)).astype(_jnp.bfloat16)
+    return tuple(np.asarray(a) for a in (hi, mid, lo))
+
+
 # MXU pass schemes for the fp32 lane matmul:
 #   "highest" — lax.Precision.HIGHEST (6 bf16 passes, ~fp32-exact); the
 #               numpy-grade default.
-#   "high"    — alias of "highest" in the Pallas path (kept as a named
-#               mode because its contract — meets the reference's 1e-4
-#               verification gate, FFT.c:12 — is looser; a faster scheme
-#               may take this slot later).
-#   "fast"    — manual bf16x3: 2-way splits, hh + hl + lh; rel err
-#               ~2^-17 (fast-math class, ~2x "highest" MXU throughput;
-#               outside the 1e-4 gate at N >= 2048 — benchmark/throughput
-#               mode, matching what the reference's fast-math would be).
-#   "default" — single bf16 pass (unusable accuracy; parity knob).
+#   "high"    — CONTRACT tier, not a fixed scheme: the cheapest bf16
+#               pass scheme that meets the reference's 1e-4 verification
+#               gate (FFT.c:12, measured as max ABS error vs float64
+#               numpy) at the plan's size.  Resolved statically per plan
+#               via _HIGH_SCHEME/resolve_scheme to "x3"/"x4"/"x5"
+#               (manual 3/4/5-pass splits below) or "highest".  Any
+#               scheme with < 6 passes carries at least one dropped
+#               bf16-split cross term of relative size ~2^-18, and the
+#               transform's values grow ~sqrt(N) through the ladder, so
+#               the largest sizes need the full 6 passes — there is no
+#               cheaper bf16 scheme under the gate there (measured
+#               sweep in BASELINE.md).
+#   "fast"    — manual bf16x3 everywhere ("x3" scheme): 2-way splits,
+#               hh + hl + lh; rel err ~2^-17 (fast-math class, ~2x
+#               "highest" MXU throughput; outside the 1e-4 gate at
+#               N >= 1024 — benchmark/throughput mode, matching what the
+#               reference's fast-math would be).
+#   "default" — single bf16 pass (unusable accuracy; parity knob —
+#               api warns on use).
+#
+# Internal scheme tokens (what the dot routines actually see):
+#   "x3" — x, m split 2-way; passes xh*mh + xh*ml + xl*mh.
+#   "x4" — m split 3-way (exact), x 2-way; xh*(mh+mm+ml) + xl*mh.
+#   "x5" — m split 3-way, x split 3-way; hh + hm + mh + mm + h*lo;
+#          only xl*mh (~2^-18) dropped.
 #
 # The lane DFT itself uses the MIRROR SYMMETRY of the DFT matrix instead
 # of the 3-mult Karatsuba complex product (for n >= 128): with
@@ -176,7 +204,42 @@ def _np_split_bf16(m):
 # DFT then costs TWO real dots (xr@M, xi@M) plus a cheap lane/sublane
 # mirror reconstruction, vs Karatsuba's three — a 1.5x MXU saving at
 # identical precision.
-_SPLIT2 = ("fast", "high4")  # "high4": deprecated alias (x4 pass scheme)
+_SPLIT2 = ("fast", "x3")        # 2-way constant split (2 extra arrays)
+_SPLIT3 = ("x4", "x5")          # 3-way constant split (3 extra arrays)
+
+# "high" resolution per core transform size: cheapest scheme measured
+# inside the 1e-4 abs gate (sweep: tests/test_precision_high.py on CPU,
+# tools/accuracy_sweep.py on chip).  Values grow ~sqrt(N) through the
+# ladder, so larger N needs more passes.
+_HIGH_SCHEME = {32: "x3", 64: "x3", 128: "x3", 256: "x4", 512: "x5",
+                1024: "highest", 2048: "highest", 4096: "highest",
+                8192: "highest"}
+
+
+def resolve_scheme(precision: str, core_n: int) -> str:
+    """Resolve the "high" contract tier to its per-size scheme token."""
+    if precision == "high":
+        return _HIGH_SCHEME.get(core_n, "highest")
+    return precision
+
+
+# Real transforms (r2c/c2r, keyed by REAL length): the half-size core
+# runs at n/2 but output magnitudes match the full-length transform and
+# the split/merge recombination adds ~1.5-2x amplification (measured,
+# BENCH_DETAILS "accuracy" fast r2c vs c2c rows) — so the real map is a
+# notch stricter than _HIGH_SCHEME at the core size.
+_HIGH_SCHEME_REAL = {64: "x3", 128: "x3", 256: "x5"}
+
+
+def resolve_scheme_real(precision: str, real_n: int) -> str:
+    if precision == "high":
+        return _HIGH_SCHEME_REAL.get(real_n, "highest")
+    return precision
+
+
+def n_splits(precision: str) -> int:
+    """Number of pre-split bf16 constant copies carried for a precision."""
+    return 3 if precision in _SPLIT3 else (2 if precision in _SPLIT2 else 0)
 
 
 def _sym_matrix(n: int, inverse: bool):
@@ -203,18 +266,21 @@ def const_arrays(n: int, inverse: bool, precision: str = "highest"):
     safe to close over in cached builders).
 
     Layout (symmetry-packed scheme, all sizes):
-      [t_re, t_im, M]  (+ M_hi, M_lo bf16 splits for "fast")
+      [t_re, t_im, M]  (+ M_hi, M_lo bf16 splits for "fast";
+                        + M_hi, M_mid, M_lo for "high")
     """
     _, _, t_re, t_im, _, _ = _tables(n, inverse)
     m = _sym_matrix(n, inverse)
     base = [t_re, t_im, m]
-    if precision in _SPLIT2:
+    if precision in _SPLIT3:
+        base.extend(_np_split_bf16_3(m))
+    elif precision in _SPLIT2:
         base.extend(_np_split_bf16(m))
     return tuple(base)
 
 
 def n_consts(n: int, precision: str = "highest") -> int:
-    return 5 if precision in _SPLIT2 else 3
+    return 3 + n_splits(precision)
 
 
 def read_consts(refs):
@@ -242,23 +308,51 @@ def _bdot(a, b, dims):
         preferred_element_type=jnp.float32)
 
 
-def _dot_x3s(x, w_pair, dims, x4: bool = False):
-    """Manual bf16x3 dot with the constant side pre-split (x4=True adds
-    the lo*lo term — 4 passes)."""
+def _dot_x3s(x, w_pair, dims):
+    """Manual bf16x3 dot with the constant side pre-split 2-way."""
     wh, wl = w_pair
     xh, xl = _split_bf16(x)
-    out = _bdot(xh, wh, dims) + (_bdot(xh, wl, dims)
-                                 + _bdot(xl, wh, dims))
-    if x4:
-        out = out + _bdot(xl, wl, dims)
-    return out
+    return _bdot(xh, wh, dims) + (_bdot(xh, wl, dims)
+                                  + _bdot(xl, wh, dims))
+
+
+def _dot_x4h(x, w_triple, dims):
+    """Manual bf16x4 dot ("x4"): constant side pre-split 3-way (exact),
+    data side 2-way.  xh contracts against the EXACT matrix (hi+mid+lo);
+    the dropped terms are xl*(mid+lo) ~ 2^-18 relative, plus the 2-way
+    data-split representation error ~2^-18."""
+    wh, wm, wl = w_triple
+    xh, xl = _split_bf16(x)
+    return (_bdot(xh, wh, dims) + _bdot(xl, wh, dims)
+            + (_bdot(xh, wm, dims) + _bdot(xh, wl, dims)))
+
+
+def _dot_x5h(x, w_triple, dims):
+    """Manual bf16x5 dot ("x5"): both sides split 3-way, lowest data
+    chunk dropped.  Only xl*mh ~ 2^-18 is missing — one dropped-term
+    error source vs "fast"'s three."""
+    wh, wm, wl = w_triple
+    xh = x.astype(jnp.bfloat16)
+    r1 = x - xh.astype(jnp.float32)
+    xm = r1.astype(jnp.bfloat16)
+    return (_bdot(xh, wh, dims)
+            + (_bdot(xh, wm, dims) + _bdot(xm, wh, dims))
+            + (_bdot(xm, wm, dims) + _bdot(xh, wl, dims)))
+
+
+def _split_dot(x, w_splits, dims, precision):
+    if precision == "x5":
+        return _dot_x5h(x, w_splits, dims)
+    if precision == "x4":
+        return _dot_x4h(x, w_splits, dims)
+    return _dot_x3s(x, w_splits, dims)
 
 
 def _sym_dot(x, m, m_splits, precision):
     """One real dot against the packed symmetric matrix M: (T, 128)."""
     dims = (((1,), (0,)), ((), ()))
-    if precision in _SPLIT2 and m_splits is not None:
-        return _dot_x3s(x, m_splits, dims, x4=precision == "high4")
+    if m_splits is not None and n_splits(precision):
+        return _split_dot(x, m_splits, dims, precision)
     enum = _PREC.get(precision, jax.lax.Precision.HIGHEST)
     return jax.lax.dot_general(x, m, dimension_numbers=dims, precision=enum,
                                preferred_element_type=jnp.float32)
@@ -314,24 +408,57 @@ def _lane_dft(ar, ai, m, m_splits, precision, nb: int = LANES):
     return _sym_recon(p_r, p_i, nb)
 
 
+# None-propagating arithmetic: a None plane is an exact structural zero.
+# Real-input ladders (the direct r2c kernel, ops/real_direct.py) start
+# with every imaginary plane None; these helpers elide the dead VPU work
+# the way the recursion's python-level structure allows (the classic
+# real-FFT ~2x saving falls out automatically).  For never-None inputs
+# the emitted op graph is bit-identical to the plain expressions.
+
+
+def _nneg(a):
+    return None if a is None else -a
+
+
+def _nadd(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
+
+
+def _nsub(a, b):
+    if b is None:
+        return a
+    if a is None:
+        return -b
+    return a - b
+
+
+def _nmul(a, s):
+    return None if a is None else a * s
+
+
 def _cmul_scalar(re, im, wr: float, wi: float):
     """(re + i*im) * (wr + i*wi) with python-scalar twiddles; exact
     special cases for 1, -1, +-i avoid needless VPU multiplies (the same
     trick as the reference's fused +-i*W last stage,
-    FFT-GPU-32bit.cu:492-531)."""
+    FFT-GPU-32bit.cu:492-531).  re/im may be None (structural zero)."""
     if wi == 0.0:
         if wr == 1.0:
             return re, im
         if wr == -1.0:
-            return -re, -im
-        return re * wr, im * wr
+            return _nneg(re), _nneg(im)
+        return _nmul(re, wr), _nmul(im, wr)
     if wr == 0.0:
         if wi == 1.0:
-            return -im, re
+            return _nneg(im), re
         if wi == -1.0:
-            return im, -re
-        return -im * wi, re * wi
-    return re * wr - im * wi, re * wi + im * wr
+            return im, _nneg(re)
+        return _nmul(_nneg(im), wi), _nmul(re, wi)
+    return (_nsub(_nmul(re, wr), _nmul(im, wi)),
+            _nadd(_nmul(re, wi), _nmul(im, wr)))
 
 
 def _w_scalar(sign: float, k: int, c: int):
@@ -345,7 +472,7 @@ def _w_scalar(sign: float, k: int, c: int):
     return wr, wi
 
 
-def _plane_dft_list(pre, pim, sign: float):
+def _plane_dft_list(pre, pim, sign: float, scale: float | None = None):
     """Recursive radix-4 (radix-2 fallback) DIT DFT over a python list of
     (T, 128) planes.
 
@@ -355,9 +482,16 @@ def _plane_dft_list(pre, pim, sign: float):
     number of levels (and therefore intermediate-value traffic) vs radix-2.
     This replaces both the reference's padded-shared-memory exchange stages
     (FFT-GPU-32bit.cu:456-490) and a Mosaic-hostile tiny matmul.
+
+    ``scale`` folds a scalar multiply into the TOP level's twiddles: only
+    the w == 1 branches pay an explicit multiply (~c/4 + 3 plane-mults
+    instead of c for a separate output scaling — the reuse loop's
+    per-iteration 1/sqrt(n) normalization rides almost free).
     """
     c = len(pre)
     if c == 1:
+        if scale is not None:
+            return [_nmul(pre[0], scale)], [_nmul(pim[0], scale)]
         return pre, pim
     if c % 4 == 0:
         sub = [_plane_dft_list(pre[j::4], pim[j::4], sign) for j in range(4)]
@@ -365,29 +499,42 @@ def _plane_dft_list(pre, pim, sign: float):
         out_r = [None] * c
         out_i = [None] * c
         for k in range(q):
-            # twiddled sub-transform outputs t_j = w_c^{j*k} * X_j[k]
-            t = [ _cmul_scalar(sub[j][0][k], sub[j][1][k],
-                               *_w_scalar(sign, j * k, c)) for j in range(4)]
+            # twiddled sub-transform outputs t_j = s * w_c^{j*k} * X_j[k]
+            ws = [_w_scalar(sign, j * k, c) for j in range(4)]
+            if scale is not None:
+                ws = [(wr * scale, wi * scale) for wr, wi in ws]
+            t = [ _cmul_scalar(sub[j][0][k], sub[j][1][k], *ws[j])
+                  for j in range(4)]
             # radix-4 butterfly; +-i depends on direction
-            a0r, a0i = t[0][0] + t[2][0], t[0][1] + t[2][1]
-            a1r, a1i = t[0][0] - t[2][0], t[0][1] - t[2][1]
-            a2r, a2i = t[1][0] + t[3][0], t[1][1] + t[3][1]
-            a3r, a3i = t[1][0] - t[3][0], t[1][1] - t[3][1]
+            a0r, a0i = _nadd(t[0][0], t[2][0]), _nadd(t[0][1], t[2][1])
+            a1r, a1i = _nsub(t[0][0], t[2][0]), _nsub(t[0][1], t[2][1])
+            a2r, a2i = _nadd(t[1][0], t[3][0]), _nadd(t[1][1], t[3][1])
+            a3r, a3i = _nsub(t[1][0], t[3][0]), _nsub(t[1][1], t[3][1])
             # j3 = sign * i * a3  (multiply by -i for forward sign=-1)
-            j3r, j3i = (-a3i, a3r) if sign > 0 else (a3i, -a3r)
-            out_r[k],          out_i[k]          = a0r + a2r, a0i + a2i
-            out_r[k + q],      out_i[k + q]      = a1r + j3r, a1i + j3i
-            out_r[k + 2 * q],  out_i[k + 2 * q]  = a0r - a2r, a0i - a2i
-            out_r[k + 3 * q],  out_i[k + 3 * q]  = a1r - j3r, a1i - j3i
+            j3r, j3i = ((_nneg(a3i), a3r) if sign > 0
+                        else (a3i, _nneg(a3r)))
+            out_r[k],         out_i[k]         = (_nadd(a0r, a2r),
+                                                  _nadd(a0i, a2i))
+            out_r[k + q],     out_i[k + q]     = (_nadd(a1r, j3r),
+                                                  _nadd(a1i, j3i))
+            out_r[k + 2 * q], out_i[k + 2 * q] = (_nsub(a0r, a2r),
+                                                  _nsub(a0i, a2i))
+            out_r[k + 3 * q], out_i[k + 3 * q] = (_nsub(a1r, j3r),
+                                                  _nsub(a1i, j3i))
         return out_r, out_i
     er, ei = _plane_dft_list(pre[0::2], pim[0::2], sign)
     orr, oi = _plane_dft_list(pre[1::2], pim[1::2], sign)
     out_r = [None] * c
     out_i = [None] * c
     for k in range(c // 2):
-        tr, ti = _cmul_scalar(orr[k], oi[k], *_w_scalar(sign, k, c))
-        out_r[k], out_i[k] = er[k] + tr, ei[k] + ti
-        out_r[k + c // 2], out_i[k + c // 2] = er[k] - tr, ei[k] - ti
+        wr, wi = _w_scalar(sign, k, c)
+        if scale is not None:
+            wr, wi = wr * scale, wi * scale
+            er[k], ei[k] = _nmul(er[k], scale), _nmul(ei[k], scale)
+        tr, ti = _cmul_scalar(orr[k], oi[k], wr, wi)
+        out_r[k], out_i[k] = _nadd(er[k], tr), _nadd(ei[k], ti)
+        out_r[k + c // 2] = _nsub(er[k], tr)
+        out_i[k + c // 2] = _nsub(ei[k], ti)
     return out_r, out_i
 
 
@@ -429,9 +576,20 @@ def _dot_t(g, x, precision, g_splits=None):
     """Transposed-product dot: (x @ G)^T = (128, T) straight off the MXU
     via reversed dimension numbers — no relayout pass."""
     dims = (((0,), (1,)), ((), ()))
-    if precision in _SPLIT2 and g_splits is not None:
-        gh, gl = g_splits
+    if g_splits is not None and n_splits(precision):
+        if precision == "x5":
+            gh, gm, gl = g_splits
+            xh = x.astype(jnp.bfloat16)
+            xm = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (_bdot(gh, xh, dims)
+                    + (_bdot(gm, xh, dims) + _bdot(gh, xm, dims))
+                    + (_bdot(gm, xm, dims) + _bdot(gl, xh, dims)))
         xh, xl = _split_bf16(x)
+        if precision == "x4":
+            gh, gm, gl = g_splits
+            return (_bdot(gh, xh, dims) + _bdot(gh, xl, dims)
+                    + (_bdot(gm, xh, dims) + _bdot(gl, xh, dims)))
+        gh, gl = g_splits
         return _bdot(gh, xh, dims) + (_bdot(gh, xl, dims)
                                       + _bdot(gl, xh, dims))
     enum = _PREC.get(precision, jax.lax.Precision.HIGHEST)
@@ -468,7 +626,7 @@ def _emit_ordered_tdot_late(pre, pim, consts, precision):
     """
     c = len(pre)
     m = consts[2]
-    m_splits = (consts[3], consts[4]) if len(consts) > 3 else None
+    m_splits = tuple(consts[3:]) or None
     zq_r = [_dot_t(m, pre[k], precision, m_splits) for k in range(c)]
     zq_i = [_dot_t(m, pim[k], precision, m_splits) for k in range(c)]
     t = zq_r[0].shape[1]
@@ -502,7 +660,7 @@ def _emit_ordered_tdot_rows(pre, pim, consts, precision):
     wide transpose is free under the HBM stream."""
     c = len(pre)
     m = consts[2]
-    m_splits = (consts[3], consts[4]) if len(consts) > 3 else None
+    m_splits = tuple(consts[3:]) or None
     zq_r = [_dot_t(m, pre[k], precision, m_splits) for k in range(c)]
     zq_i = [_dot_t(m, pim[k], precision, m_splits) for k in range(c)]
     out_r, out_i = _rows_recon(zq_r, zq_i)
@@ -603,7 +761,7 @@ def emit_fft(xr, xi, consts, *, n: int, inverse: bool = False,
     if _ABLATE == "copy_only":
         return xr, xi
     t_re, t_im, m = consts[:3]
-    m_splits = (consts[3], consts[4]) if len(consts) > 3 else None
+    m_splits = tuple(consts[3:]) or None
     if c == 1:
         # single-chunk transforms (incl. kron-packed n < 128) are
         # natural-ordered already
@@ -660,7 +818,7 @@ def emit_fft_rev(xr, xi, consts, *, n: int, inverse: bool = False,
     sign = +1.0 if inverse else -1.0
 
     t_re, t_im, m = consts[:3]
-    m_splits = (consts[3], consts[4]) if len(consts) > 3 else None
+    m_splits = tuple(consts[3:]) or None
     if c == 1:
         return _lane_dft(xr, xi, m, m_splits, precision,
                          nb=min(n, LANES))
@@ -867,6 +1025,7 @@ def fft_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
         from smfft_tpu.ops import pencil
         return pencil.fft_pencil_planar(
             vr, vi, n, inverse=plan.direction == "inverse", scale=scale)
+    precision = resolve_scheme(precision, n)
     vr, vi, rows = _pad_rows(vr, vi)
     tile = _pick_tile(vr.shape[0], n, tile_t, plan.ordered and not rev_in)
     run = _build(plan, rev_in, precision, tile, multiple_iters,

@@ -107,9 +107,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from smfft_tpu.ops.pallas_c2c import (
-    LANES, _SPLIT2, _lane_dft, _np_split_bf16, _plane_dft_list,
-    _sym_matrix, _tables, digit_swap_merge,
-    digit_swap_split, flip_lanes)
+    LANES, _SPLIT2, _SPLIT3, _lane_dft, _np_split_bf16,
+    _np_split_bf16_3, _plane_dft_list, _sym_matrix, _tables,
+    digit_swap_merge, digit_swap_split, flip_lanes, n_splits)
 from smfft_tpu.ops import pallas_c2c as _pc
 
 
@@ -140,7 +140,9 @@ def _rfft_tables(n: int, precision: str = "highest"):
     q_re, q_im = (1.0 - w_im) * 0.5, +0.5 * w_re
     f32 = lambda a: np.ascontiguousarray(a, np.float32)
     base = [f32(t_re), f32(t_im), m]
-    if precision in _SPLIT2:
+    if precision in _SPLIT3:
+        base.extend(_np_split_bf16_3(m))
+    elif precision in _SPLIT2:
         base.extend(_np_split_bf16(m))
     base.extend(map(f32, (p_re, p_im, q_re, q_im)))
     return tuple(base)
@@ -186,13 +188,13 @@ def _build_rfft(plan: P.FFTParams, tile_t: int, precision: str):
     assert c >= 1
     consts = _rfft_tables(n, precision)
     n_c = len(consts)
-    n_split = 2 if precision in _SPLIT2 else 0
+    n_split = n_splits(precision)
 
     def kernel(*refs):
         x_ref = refs[0]
         cs = tuple(r[:] for r in refs[1:1 + n_c])
         t_re, t_im, m = cs[:3]
-        m_splits = (cs[3], cs[4]) if n_split else None
+        m_splits = cs[3:3 + n_split] or None
         p_re, p_im, q_re, q_im = cs[3 + n_split:]
         or_ref, oi_ref = refs[1 + n_c], refs[2 + n_c]
 
@@ -329,6 +331,7 @@ def rfft_fused_planar(x: jnp.ndarray, precision: str = "highest",
         # is pure fp32 VPU)
         from smfft_tpu.ops import pencil
         return pencil.rfft_pencil_planar(x, n)
+    precision = _pc.resolve_scheme_real(precision, n)
     rows = x.shape[0]
     pad = (-rows) % 8
     if pad:
@@ -407,7 +410,9 @@ def _irfft_tables(n: int, precision: str = "highest"):
     b_re, b_im = (1.0 + wi_im) * 0.5, -0.5 * wi_re
     f32 = lambda a: np.ascontiguousarray(a, np.float32)
     base = [f32(t_re), f32(t_im), m]
-    if precision in _SPLIT2:
+    if precision in _SPLIT3:
+        base.extend(_np_split_bf16_3(m))
+    elif precision in _SPLIT2:
         base.extend(_np_split_bf16(m))
     base.extend(map(f32, (a_re, a_im, b_re, b_im)))
     return tuple(base)
@@ -442,13 +447,13 @@ def _build_irfft(plan: P.FFTParams, tile_t: int, precision: str,
     assert c >= 1
     consts = _irfft_tables(n, precision)
     n_c = len(consts)
-    n_split = 2 if precision in _SPLIT2 else 0
+    n_split = n_splits(precision)
 
     def kernel(*refs):
         xr_ref, xi_ref = refs[0], refs[1]
         cs = tuple(r[:] for r in refs[2:2 + n_c])
         t_re, t_im, m = cs[:3]
-        m_splits = (cs[3], cs[4]) if n_split else None
+        m_splits = cs[3:3 + n_split] or None
         a_re, a_im, b_re, b_im = cs[3 + n_split:]
         o_ref = refs[2 + n_c]
 
@@ -572,6 +577,7 @@ def irfft_fused_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
         # stay on the matmul kernel with the in-kernel digit_swap_split
         from smfft_tpu.ops import pencil
         return pencil.irfft_pencil_planar(vr, vi, n)
+    precision = _pc.resolve_scheme_real(precision, n)
     rows = vr.shape[0]
     pad = (-rows) % 8
     if pad:

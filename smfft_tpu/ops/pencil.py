@@ -65,6 +65,24 @@ def _r_block(n: int) -> int:
     return _R_BLOCK_4096 if n >= 4096 else R_BLOCK
 
 
+def _pick_slabs(n: int, rows: int) -> int:
+    """Slabs (128-row groups) per pencil block: the full pipeline depth
+    for large batches, fewer for small ones so an 8-row call does not pay
+    up to 128x redundant padded compute (ADVICE r2)."""
+    max_slabs = _r_block(n) // 128
+    return min(max_slabs, max(1, -(-rows // 128)))
+
+
+def _check_n(n: int, lo: int = 32, hi: int = 4096) -> None:
+    """Pencil ladder size gate: power-of-two within [lo, hi] (the same
+    'wrong FFT length' contract as the api layer; ADVICE r2 — a
+    non-power-of-two used to die deep in the plane ladder)."""
+    if not lo <= n <= hi or n & (n - 1):
+        raise ValueError(
+            f"Error wrong FFT length! pencil path supports power-of-two "
+            f"{lo} <= n <= {hi}, got {n}")
+
+
 def _to_pencil(x, n, slabs: int = 8):
     """(slabs*128, n) rows -> pencil (slabs*n, 128): plane j = rows
     [slabs*j, slabs*(j+1)) holds sample j of the slabs*128 FFTs
@@ -115,6 +133,16 @@ def plane_fft(planes_r, planes_i, inverse: bool = False):
                            +1.0 if inverse else -1.0)
 
 
+# Below this n the reuse loop carries the PLANE LISTS through fori_loop
+# directly (a pytree of n small (slabs, 128) buffers) instead of
+# re-concatenating and re-slicing the big pencil buffer every iteration
+# — the per-iteration relayout was the dominant fixed overhead at the
+# reference's headline small sizes (VERDICT r2 next #2).  Large n keeps
+# the two-big-buffer carry (thousands of tiny loop-carried buffers blow
+# up compile time).
+_PLANE_CARRY_MAX = 256
+
+
 def _pencil_block(xr, xi, n: int, iters: int, sign: float,
                   per_iter_scale: bool = True, slabs: int = 8):
     """The per-(slabs*128, n)-block transform body — pure jnp, shared by
@@ -122,33 +150,58 @@ def _pencil_block(xr, xi, n: int, iters: int, sign: float,
     far too slow for the unrolled n-plane ladder).
 
     per_iter_scale multiplies 1/sqrt(n) into each application (keeps the
-    100x reuse loop bounded); the single-pass external path turns it off
-    for raw unnormalized FFT semantics."""
-    scale = np.float32(1.0 / np.sqrt(float(n))) if per_iter_scale else None
+    100x reuse loop bounded), folded into the ladder's top-level twiddles
+    (near-free; see _plane_dft_list); the single-pass external path turns
+    it off for raw unnormalized FFT semantics."""
+    scale = float(1.0 / np.sqrt(float(n))) if per_iter_scale else None
 
     br = _to_pencil(xr, n, slabs)
     bi = _to_pencil(xi, n, slabs)
 
+    if iters == 1:
+        o_r, o_i = _plane_dft_list(_planes(br, n, slabs),
+                                   _planes(bi, n, slabs), sign, scale)
+        return (_from_pencil(jnp.concatenate(o_r, axis=0), n, slabs),
+                _from_pencil(jnp.concatenate(o_i, axis=0), n, slabs))
+
+    if n <= _PLANE_CARRY_MAX:
+        # plane-list carry, 2 applications per loop step (halves loop
+        # bookkeeping; the odd iteration peels off after the loop)
+        pr = tuple(_planes(br, n, slabs))
+        pi = tuple(_planes(bi, n, slabs))
+
+        def one(pr, pi):
+            o_r, o_i = _plane_dft_list(list(pr), list(pi), sign, scale)
+            return tuple(o_r), tuple(o_i)
+
+        def body(_, carry):
+            cr, ci = one(*carry)
+            return one(cr, ci)
+
+        pr, pi = jax.lax.fori_loop(0, iters // 2, body, (pr, pi))
+        if iters % 2:
+            pr, pi = one(pr, pi)
+        return (_from_pencil(jnp.concatenate(pr, axis=0), n, slabs),
+                _from_pencil(jnp.concatenate(pi, axis=0), n, slabs))
+
     def body(_, carry):
         cr, ci = carry
         o_r, o_i = _plane_dft_list(_planes(cr, n, slabs),
-                                   _planes(ci, n, slabs), sign)
-        o_r = jnp.concatenate(o_r, axis=0)
-        o_i = jnp.concatenate(o_i, axis=0)
-        if scale is not None:
-            o_r, o_i = o_r * scale, o_i * scale
-        return o_r, o_i
+                                   _planes(ci, n, slabs), sign, scale)
+        return (jnp.concatenate(o_r, axis=0),
+                jnp.concatenate(o_i, axis=0))
     br, bi = jax.lax.fori_loop(0, iters, body, (br, bi))
     return _from_pencil(br, n, slabs), _from_pencil(bi, n, slabs)
 
 
 @functools.lru_cache(maxsize=None)
 def _build(n: int, iters: int, inverse: bool, interpret: bool = False,
-           per_iter_scale: bool = True, fused_scale: bool = False):
+           per_iter_scale: bool = True, fused_scale: bool = False,
+           slabs: int | None = None):
     sign = +1.0 if inverse else -1.0
 
-    rb = _r_block(n)
-    slabs = rb // 128
+    slabs = slabs or _r_block(n) // 128
+    rb = slabs * 128
 
     if interpret:
         # eager per-block loop on the host platform: the Pallas
@@ -217,25 +270,26 @@ def multiple_pencil_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
     1/sqrt(n).  Supported for 32 <= n <= 4096 (4096 runs 512-row
     blocks for VMEM; see _r_block).
     """
-    if not 32 <= n <= 4096:
-        raise ValueError("multiple_pencil supports 32 <= n <= 4096")
+    _check_n(n)
     if vr.shape[-1] != n:
         raise ValueError(f"expected row width {n}, got {vr.shape[-1]}")
     rows = vr.shape[0]
-    pad = (-rows) % _r_block(n)
+    slabs = _pick_slabs(n, rows)
+    pad = (-rows) % (slabs * 128)
     if pad:
         zeros = jnp.zeros((pad, n), vr.dtype)
         vr = jnp.concatenate([vr, zeros], axis=0)
         vi = jnp.concatenate([vi, zeros], axis=0)
-    o_r, o_i = _build(n, iters, inverse, _pc._INTERPRET)(vr, vi)
+    o_r, o_i = _build(n, iters, inverse, _pc._INTERPRET,
+                      slabs=slabs)(vr, vi)
     if pad:
         o_r, o_i = o_r[:rows], o_i[:rows]
     return o_r, o_i
 
 
-def _rfft_block(x, n: int):
-    """Fused R2C on one (1024, n) real block -> natural-order packed
-    spectrum planar pair (1024, L), L = n/2, slot 0 = (DC, Nyquist).
+def _rfft_planes(pl_, n: int):
+    """Plane-level R2C core: n real sample planes -> (out_r, out_i)
+    packed-spectrum plane lists of length L = n/2, slot 0 = (DC, Nyq).
 
     Reference math parity (FFT-GPU-32bit-Stockham.cu:269-340): half-size
     complex FFT of (even + i*odd), then X[k] = P Z[k] + Q conj(Z[L-k])
@@ -243,8 +297,6 @@ def _rfft_block(x, n: int):
     pencil form the deinterleave is plane-list slicing, the mirror is a
     plane permutation, and P/Q are python-scalar constants per plane."""
     L = n // 2
-    big = _to_pencil(x, n)
-    pl_ = _planes(big, n)
     zr, zi = _plane_dft_list(pl_[0::2], pl_[1::2], -1.0)
     out_r, out_i = [None] * L, [None] * L
     out_r[0] = zr[0] + zi[0]            # DC
@@ -262,33 +314,45 @@ def _rfft_block(x, n: int):
                     + zr[m] * q_re + zi[m] * q_im)
         out_i[k] = (zr[k] * p_im + zi[k] * p_re
                     + zr[m] * q_im - zi[m] * q_re)
-    return (_from_pencil(jnp.concatenate(out_r, axis=0), L),
-            _from_pencil(jnp.concatenate(out_i, axis=0), L))
+    return out_r, out_i
 
 
-def _irfft_block(xr, xi, n: int):
-    """Fused C2R on one (1024, L) natural-order packed spectrum pair ->
-    (1024, n) real signal scaled by L (the reference's unnormalized
-    contract, FFT.c:170-171).
+def _rfft_block(x, n: int, slabs: int = 8):
+    """Fused R2C on one (slabs*128, n) real block -> natural-order packed
+    spectrum planar pair (slabs*128, L); see _rfft_planes."""
+    L = n // 2
+    big = _to_pencil(x, n, slabs)
+    out_r, out_i = _rfft_planes(_planes(big, n, slabs), n)
+    return (_from_pencil(jnp.concatenate(out_r, axis=0), L, slabs),
+            _from_pencil(jnp.concatenate(out_i, axis=0), L, slabs))
+
+
+def _irfft_planes(xpr, xpi, n: int, scale: float | None = None):
+    """Plane-level C2R core: packed-spectrum plane lists (length L) ->
+    n real sample planes, scaled by L * (scale or 1) — the reference's
+    unnormalized contract (FFT.c:170-171) with an optional extra scalar
+    folded for free into the merge constants (the reuse loop's 1/L).
 
     Z[k] = A X[k] + B conj(X[L-k]), A = (1 + iW^-k)/2, B = (1 - iW^-k)/2;
     inverse half-size ladder; samples re-interleave as alternating
     planes."""
     L = n // 2
-    br = _to_pencil(xr, L)
-    bi = _to_pencil(xi, L)
-    xpr, xpi = _planes(br, L), _planes(bi, L)
+    s = 1.0 if scale is None else float(scale)
     z_r, z_i = [None] * L, [None] * L
-    z_r[0] = (xpr[0] + xpi[0]) * np.float32(0.5)   # (DC + Nyq)/2
-    z_i[0] = (xpr[0] - xpi[0]) * np.float32(0.5)   # (DC - Nyq)/2
+    z_r[0] = (xpr[0] + xpi[0]) * np.float32(0.5 * s)   # (DC + Nyq)/2
+    z_i[0] = (xpr[0] - xpi[0]) * np.float32(0.5 * s)   # (DC - Nyq)/2
     for k in range(1, L):
         m = L - k
         th = 2.0 * math.pi * k / n
         sn, cs = math.sin(th), math.cos(th)
-        a_re, a_im = (1.0 - sn) * 0.5, +0.5 * cs
-        b_re, b_im = (1.0 + sn) * 0.5, -0.5 * cs
+        a_re, a_im = (1.0 - sn) * 0.5 * s, +0.5 * cs * s
+        b_re, b_im = (1.0 + sn) * 0.5 * s, -0.5 * cs * s
         if k == L // 2:                 # th = pi/2: A = 0, B = 1
-            z_r[k], z_i[k] = xpr[m], -xpi[m]
+            if scale is None:
+                z_r[k], z_i[k] = xpr[m], -xpi[m]
+            else:
+                sf = np.float32(s)
+                z_r[k], z_i[k] = xpr[m] * sf, xpi[m] * np.float32(-s)
             continue
         z_r[k] = (xpr[k] * a_re - xpi[k] * a_im
                   + xpr[m] * b_re + xpi[m] * b_im)
@@ -298,21 +362,33 @@ def _irfft_block(xr, xi, n: int):
     out = [None] * n
     out[0::2] = o_r                     # even samples = real plane
     out[1::2] = o_i                     # odd samples = imag plane
-    return _from_pencil(jnp.concatenate(out, axis=0), n)
+    return out
+
+
+def _irfft_block(xr, xi, n: int, slabs: int = 8):
+    """Fused C2R on one (slabs*128, L) natural-order packed spectrum pair
+    -> (slabs*128, n) real signal scaled by L; see _irfft_planes."""
+    L = n // 2
+    br = _to_pencil(xr, L, slabs)
+    bi = _to_pencil(xi, L, slabs)
+    out = _irfft_planes(_planes(br, L, slabs), _planes(bi, L, slabs), n)
+    return _from_pencil(jnp.concatenate(out, axis=0), n, slabs)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_real(n: int, inverse: bool, interpret: bool = False):
+def _build_real(n: int, inverse: bool, interpret: bool = False,
+                slabs: int = 8):
     L = n // 2
+    rb = slabs * 128
 
     if interpret:
         def run_host(*arrays):
             with jax.disable_jit():
                 outs = []
-                for s in range(0, arrays[0].shape[0], R_BLOCK):
-                    blk = [a[s:s + R_BLOCK] for a in arrays]
-                    outs.append(_irfft_block(*blk, n) if inverse
-                                else _rfft_block(*blk, n))
+                for s in range(0, arrays[0].shape[0], rb):
+                    blk = [a[s:s + rb] for a in arrays]
+                    outs.append(_irfft_block(*blk, n, slabs) if inverse
+                                else _rfft_block(*blk, n, slabs))
                 if inverse:
                     return jnp.concatenate(outs, axis=0)
                 return (jnp.concatenate([o[0] for o in outs], axis=0),
@@ -321,16 +397,16 @@ def _build_real(n: int, inverse: bool, interpret: bool = False):
 
     if inverse:
         def kernel(xr_ref, xi_ref, o_ref):
-            o_ref[:] = _irfft_block(xr_ref[:], xi_ref[:], n)
+            o_ref[:] = _irfft_block(xr_ref[:], xi_ref[:], n, slabs)
     else:
         def kernel(x_ref, our_ref, oui_ref):
-            o_r, o_i = _rfft_block(x_ref[:], n)
+            o_r, o_i = _rfft_block(x_ref[:], n, slabs)
             our_ref[:] = o_r
             oui_ref[:] = o_i
 
-    real_spec = pl.BlockSpec((R_BLOCK, n), lambda i: (i, 0),
+    real_spec = pl.BlockSpec((rb, n), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    spec_spec = pl.BlockSpec((R_BLOCK, L), lambda i: (i, 0),
+    spec_spec = pl.BlockSpec((rb, L), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
 
     @jax.jit
@@ -344,7 +420,7 @@ def _build_real(n: int, inverse: bool, interpret: bool = False):
             out_specs = (spec_spec, spec_spec)
             out_shape = (jax.ShapeDtypeStruct((b, L), jnp.float32),) * 2
         return pl.pallas_call(
-            kernel, grid=(b // R_BLOCK,),
+            kernel, grid=(b // rb,),
             in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024,
@@ -353,9 +429,88 @@ def _build_real(n: int, inverse: bool, interpret: bool = False):
     return run
 
 
-def _pad_run(arrays, n_out_cols, run):
+def _real_pair_block(x, n: int, pairs: int, slabs: int = 8):
+    """``pairs`` x (R2C -> C2R) in-VMEM applications on one real block,
+    entirely in pencil plane form — the real-transform reuse loop (the
+    R2C FFT_multiple_benchmark analogue,
+    SMFFT_Stockham_R2C_C2R/FFT-GPU-32bit-Stockham.cu:435-467; forward-
+    only re-application can't keep shapes static, so the loop models the
+    in-kernel convolution roundtrip instead).  Each pair folds 1/L into
+    the C2R merge constants (free), so the signal is preserved."""
+    inv_l = 1.0 / (n // 2)
+    big = _to_pencil(x, n, slabs)
+    if n <= _PLANE_CARRY_MAX:
+        def body(_, planes):
+            sr, si = _rfft_planes(list(planes), n)
+            return tuple(_irfft_planes(sr, si, n, inv_l))
+        pl_ = jax.lax.fori_loop(0, pairs, body,
+                                tuple(_planes(big, n, slabs)))
+        return _from_pencil(jnp.concatenate(list(pl_), axis=0), n, slabs)
+
+    def body(_, carry):
+        sr, si = _rfft_planes(_planes(carry, n, slabs), n)
+        return jnp.concatenate(_irfft_planes(sr, si, n, inv_l), axis=0)
+    big = jax.lax.fori_loop(0, pairs, body, big)
+    return _from_pencil(big, n, slabs)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_real_multiple(n: int, pairs: int, interpret: bool = False,
+                         slabs: int = 8):
+    rb = slabs * 128
+
+    if interpret:
+        def run_host(x):
+            with jax.disable_jit():
+                outs = [_real_pair_block(x[s:s + rb], n, pairs, slabs)
+                        for s in range(0, x.shape[0], rb)]
+                return jnp.concatenate(outs, axis=0)
+        return run_host
+
+    def kernel(x_ref, o_ref):
+        o_ref[:] = _real_pair_block(x_ref[:], n, pairs, slabs)
+
+    spec = pl.BlockSpec((rb, n), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    vmem_mb = 120 if n >= 4096 else 110
+
+    @jax.jit
+    def run(x):
+        b = x.shape[0]
+        return pl.pallas_call(
+            kernel, grid=(b // rb,), in_specs=[spec], out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_mb * 1024 * 1024,
+                dimension_semantics=("arbitrary",)),
+        )(x)
+    return run
+
+
+def multiple_real_pencil_planar(x: jnp.ndarray, n: int, iters: int):
+    """``iters`` in-VMEM REAL-transform applications (iters/2 R2C->C2R
+    pairs) on fp32 rows (B, n); the output equals the input signal up to
+    fp32 error (each pair is exact up to the folded 1/L).  Supported for
+    256 <= n <= 4096; ``iters`` must be even."""
+    _check_n(n, 256, 4096)
+    if iters % 2:
+        raise ValueError("iters must be even (R2C->C2R pairs)")
+    if x.shape[-1] != n:
+        raise ValueError(f"expected row width {n}, got {x.shape[-1]}")
+    rows = x.shape[0]
+    slabs = min(8, max(1, -(-rows // 128)))
+    rb = slabs * 128
+    pad = (-rows) % rb
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, n), x.dtype)], axis=0)
+    out = _build_real_multiple(n, iters // 2, _pc._INTERPRET,
+                               slabs)(x.astype(jnp.float32))
+    return out[:rows] if pad else out
+
+
+def _pad_run(arrays, rb, run):
     rows = arrays[0].shape[0]
-    pad = (-rows) % R_BLOCK
+    pad = (-rows) % rb
     if pad:
         arrays = [jnp.concatenate(
             [a, jnp.zeros((pad, a.shape[1]), a.dtype)], axis=0)
@@ -374,12 +529,12 @@ def rfft_pencil_planar(x: jnp.ndarray, n: int | None = None):
     exceeds the Mosaic program budget; callers fall back to the matmul
     kernel there)."""
     n = n or x.shape[-1]
-    if not 256 <= n <= 4096:
-        raise ValueError("rfft_pencil supports 256 <= n <= 4096")
+    _check_n(n, 256, 4096)
     if x.shape[-1] != n:
         raise ValueError(f"expected row width {n}, got {x.shape[-1]}")
-    run = _build_real(n, False, _pc._INTERPRET)
-    return _pad_run([x.astype(jnp.float32)], n // 2, run)
+    slabs = min(8, max(1, -(-x.shape[0] // 128)))
+    run = _build_real(n, False, _pc._INTERPRET, slabs)
+    return _pad_run([x.astype(jnp.float32)], slabs * 128, run)
 
 
 def irfft_pencil_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int):
@@ -387,13 +542,13 @@ def irfft_pencil_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int):
     spectrum planar (B, n/2) pair -> real (B, n) scaled by n/2 (the
     reference's unnormalized contract).  Supported for
     256 <= n <= 4096."""
-    if not 256 <= n <= 4096:
-        raise ValueError("irfft_pencil supports 256 <= n <= 4096")
+    _check_n(n, 256, 4096)
     if vr.shape[-1] != n // 2:
         raise ValueError(f"expected row width {n // 2}, got {vr.shape[-1]}")
-    run = _build_real(n, True, _pc._INTERPRET)
+    slabs = min(8, max(1, -(-vr.shape[0] // 128)))
+    run = _build_real(n, True, _pc._INTERPRET, slabs)
     return _pad_run([vr.astype(jnp.float32), vi.astype(jnp.float32)],
-                    n, run)
+                    slabs * 128, run)
 
 
 def fft_pencil_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
@@ -406,16 +561,18 @@ def fft_pencil_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
 
     Unnormalized forward/inverse DFT semantics (matching fft_planar);
     ``scale`` is an optional scalar fused into the load."""
+    _check_n(n)
     if vr.shape[-1] != n:
         raise ValueError(f"expected row width {n}, got {vr.shape[-1]}")
     rows = vr.shape[0]
-    pad = (-rows) % R_BLOCK
+    slabs = _pick_slabs(n, rows)
+    pad = (-rows) % (slabs * 128)
     if pad:
         zeros = jnp.zeros((pad, n), vr.dtype)
         vr = jnp.concatenate([vr, zeros], axis=0)
         vi = jnp.concatenate([vi, zeros], axis=0)
     run = _build(n, 1, inverse, _pc._INTERPRET, per_iter_scale=False,
-                 fused_scale=scale is not None)
+                 fused_scale=scale is not None, slabs=slabs)
     if scale is not None:
         o_r, o_i = run(vr, vi, jnp.asarray(scale, jnp.float32))
     else:

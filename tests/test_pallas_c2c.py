@@ -127,6 +127,38 @@ def test_odd_batch_padding(rng, b):
     assert max_abs_err(got, np.fft.fft(x.astype(np.complex128))) < tol(n)
 
 
+def test_tdot_late_merge_variant(rng):
+    """The retained tdot_late debug merge (late lane-domain mirror recon)
+    stays correct — it is tuning-reachable only via the _MERGE global, so
+    exercise it explicitly against numpy (ADVICE r2)."""
+    n = 1024
+    x = rand_c(rng, 64, n)
+    old = PC._MERGE
+    PC._MERGE = "tdot_late"
+    PC._build.cache_clear()
+    try:
+        got = np.asarray(PC.fft_pallas(to_dev(x)))
+    finally:
+        PC._MERGE = old
+        PC._build.cache_clear()
+    assert max_abs_err(got, np.fft.fft(x.astype(np.complex128))) < tol(n)
+
+
+def test_default_precision_warns(rng):
+    """api-level contract: precision='default' is accuracy-unusable and
+    must emit a UserWarning (VERDICT r2 weak #4)."""
+    import warnings
+    from smfft_tpu import api
+    api._warned_precisions.clear()
+    x = to_dev(rand_c(rng, 8, 256))
+    with pytest.warns(UserWarning, match="UNUSABLE"):
+        api.fft(x, backend="spec", precision="default")
+    # second call: warned once per process, not per call
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        api.fft(x, backend="spec", precision="default")
+
+
 def test_plan_keys_kernel_builds():
     """FFTParams is the kernel-build cache key (the L0 dispatch spine)."""
     from smfft_tpu import params as P

@@ -97,5 +97,39 @@ def test_pad_and_bounds():
     vi = jnp.array(rng.random((100, n), dtype=np.float32))
     o_r, o_i = pencil.multiple_pencil_planar(vr, vi, n, iters=1)
     assert o_r.shape == (100, n)
-    with pytest.raises(ValueError):
-        pencil.multiple_pencil_planar(vr, vi, 4096, iters=1)
+    # out-of-range size (bounds check fires before the width check)
+    with pytest.raises(ValueError, match="wrong FFT length"):
+        pencil.multiple_pencil_planar(vr, vi, 8192, iters=1)
+    # non-power-of-two inside the range (ADVICE r2: used to die deep in
+    # the plane ladder with an opaque TypeError)
+    vr96 = jnp.array(rng.random((8, 96), dtype=np.float32))
+    with pytest.raises(ValueError, match="wrong FFT length"):
+        pencil.multiple_pencil_planar(vr96, vr96, 96, iters=1)
+    # width mismatch for a supported size
+    with pytest.raises(ValueError, match="row width"):
+        pencil.multiple_pencil_planar(vr, vi, 1024, iters=1)
+
+
+def test_small_batch_uses_few_slabs():
+    """An 8-row batch must not pay the full 1024-row block padding
+    (ADVICE r2): the slab picker builds a 1-slab kernel and the result
+    still matches numpy."""
+    n = 256
+    assert pencil._pick_slabs(n, 8) == 1
+    assert pencil._pick_slabs(n, 300) == 3
+    assert pencil._pick_slabs(n, 5000) == 8
+    assert pencil._pick_slabs(4096, 5000) == 4  # VMEM-capped block
+    rng = np.random.default_rng(11)
+    x = (rng.random((8, n)) + 1j * rng.random((8, n))
+         - 0.5 - 0.5j).astype(np.complex64)
+    o_r, o_i = pencil.multiple_pencil_planar(
+        jnp.array(x.real.copy()), jnp.array(x.imag.copy()), n, iters=1)
+    got = (np.asarray(o_r) + 1j * np.asarray(o_i)) * np.sqrt(n)
+    assert np.max(np.abs(got - np.fft.fft(x.astype(np.complex128)))) < 1e-4
+    # fused real path, small batch: 1-slab kernels
+    from smfft_tpu.ops import pallas_real as PR
+    xr = (rng.random((8, n)) - 0.5).astype(np.float32)
+    s_r, s_i = PR.rfft_fused_planar(jnp.array(xr), ordered=True)
+    ref = np.fft.rfft(xr.astype(np.float64))
+    assert np.max(np.abs(np.asarray(s_r)[:, 1:] + 1j * np.asarray(s_i)[:, 1:]
+                         - ref[:, 1:n // 2])) < 1e-4
