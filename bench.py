@@ -179,6 +179,7 @@ def main():
             # of that one kernel, directly
             ffts = rows_n * ncols // n * MULT_ITERS
             for prec, key in (("highest", "multiple_mffts"),
+                              ("high", "multiple_high_mffts"),
                               ("fast", "multiple_fast_mffts")):
                 measure(f"multiple[{prec}]", key,
                         mk(mult=MULT_ITERS, precision=prec), nbytes,
@@ -205,6 +206,21 @@ def main():
                     float(force(out[0]))
                 measure("multiple[pencil]", "multiple_pencil_mffts",
                         f_pen, nbytes, ffts=rows_p * MULT_ITERS)
+            if 256 <= n <= 4096:
+                # REAL-transform in-VMEM reuse (the R2C
+                # FFT_multiple_benchmark analogue, R2C_C2R/FFT-GPU-
+                # 32bit-Stockham.cu:435-467): MULT_ITERS transforms as
+                # rfft->irfft pairs on VMEM-resident pencils; counted
+                # in MFFT/s of real transforms (each pair = 2)
+                x_rm = devdata(rows_n, n, 7 * n)
+
+                def f_rmul():
+                    out = PEN.multiple_real_pencil_planar(
+                        x_rm, n, iters=MULT_ITERS)
+                    float(force(out))
+                measure("multiple[r2c]", "multiple_r2c_mffts",
+                        f_rmul, rows_n * n * 8,
+                        ffts=rows_n * MULT_ITERS)
         details["sizes"][str(n)] = entry
 
     # XLA-native jnp.fft comparison at N=1024 (same method)

@@ -34,16 +34,35 @@ def shard_batch(x: jnp.ndarray, mesh: Mesh, axis_name: str = "batch"):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
+def _shard_map(fn, mesh: Mesh, in_specs, out_specs):
+    """jax.shard_map across jax versions (experimental path fallback).
+
+    check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    metadata, and the batch-parallel mapping needs no collective-safety
+    analysis (every row is device-local by construction)."""
+    try:
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
 def sharded_fft(x: jnp.ndarray, mesh: Mesh, *, inverse: bool = False,
                 ordered: bool = True, backend: str = "auto",
                 precision: str = "highest", axis_name: str = "batch"):
     """Batched C2C FFT with the batch axis sharded across the mesh.
 
-    Implemented with jax.jit + sharding annotations: XLA SPMD-partitions
-    the program; since every FFT is row-local, the partitioned program has
-    zero collectives and each chip runs the same fused kernel on B/ndev
-    rows.  (shard_map would be equivalent here; annotations keep the code
-    composable with outer jits.)
+    XLA backends go through jax.jit + sharding annotations: XLA
+    SPMD-partitions the program; since every FFT is row-local, the
+    partitioned program has zero collectives and each chip runs the same
+    program on B/ndev rows.  The Pallas backend — the product kernel —
+    instead rides shard_map (manual SPMD): a pallas_call is an opaque
+    custom call the XLA partitioner cannot split, so shard_map runs the
+    fused kernel per device on its local (B/ndev, N) shard, which is
+    exactly the batch-parallel contract (SURVEY.md §2.4: one FFT per
+    block, grid = batch; here one shard per chip, grid = local batch).
     """
     from smfft_tpu import api
 
@@ -54,6 +73,12 @@ def sharded_fft(x: jnp.ndarray, mesh: Mesh, *, inverse: bool = False,
 
     fn = partial(api.ifft if inverse else api.fft, ordered=ordered,
                  backend=backend, precision=precision)
+    resolved = backend
+    if resolved == "auto":
+        resolved = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if resolved == "pallas":
+        mapped = _shard_map(fn, mesh, (spec,), spec)
+        return jax.jit(mapped, out_shardings=sharding)(x)
     return jax.jit(fn, out_shardings=sharding)(x)
 
 

@@ -48,19 +48,19 @@ def main():
                 print(f"n={n:6d} {label:28s} FAILED {str(e)[:90]}",
                       flush=True)
 
-        for tile in (512, 256, 128):
-            if tile > rows:
+        for tile in (512, 256, 128, 64):
+            if 2 * tile > rows:
                 continue
 
-            def f_r2c(t=tile):
-                o = RD.rfft_direct_planar(x, tile_t=t)
+            def f_r2cp(t=tile):
+                o = RD.rfft_pair_planar(x, tile_t=t)
                 float(force(o[0]))
-            probe(f"r2c direct tile={tile}", f_r2c)
+            probe(f"r2c pair tile={tile}", f_r2cp)
 
-            def f_c2r(t=tile):
-                o = RD.irfft_direct_planar(hr, hi, n, tile_t=t)
+            def f_c2rp(t=tile):
+                o = RD.irfft_pair_planar(hr, hi, n, tile_t=t)
                 float(force(o))
-            probe(f"c2r direct tile={tile}", f_c2r)
+            probe(f"c2r pair tile={tile}", f_c2rp)
 
         # shipping paths for comparison
         if n <= 4096:
