@@ -920,14 +920,58 @@ def _build(plan: P.FFTParams, rev_in: bool, precision: str,
             xr = xr * s
             xi = xi * s
         if multiple_iters:
-            scale = np.float32(1.0 / math.sqrt(float(n)))
+            scale = float(1.0 / math.sqrt(float(n)))
+            sign = +1.0 if inverse else -1.0
+            if c == 1:
+                sc = np.float32(scale)
 
-            def body(_, carry):
-                r, i = carry
-                o_r, o_i = emit(r, i, consts, n=n, inverse=inverse,
-                                precision=precision)
-                return o_r * scale, o_i * scale
-            xr, xi = jax.lax.fori_loop(0, multiple_iters, body, (xr, xi))
+                def body(_, carry):
+                    r, i = carry
+                    o_r, o_i = emit(r, i, consts, n=n, inverse=inverse,
+                                    precision=precision)
+                    return o_r * sc, o_i * sc
+                xr, xi = jax.lax.fori_loop(0, multiple_iters, body,
+                                           (xr, xi))
+            else:
+                # carry the CHUNK LISTS through the loop: drops the
+                # per-iteration lane-concat + re-slice relayout passes,
+                # and the 1/sqrt(n) scale folds into the ladder's
+                # top-level twiddles (near-free) — the same reworks
+                # that recovered the pencil reuse curve (ops/pencil.py)
+                t_re, t_im, m = consts[:3]
+                m_splits = tuple(consts[3:]) or None
+
+                def body(_, carry):
+                    pre, pim = list(carry[0]), list(carry[1])
+                    if _ABLATE == "copy_only":
+                        sc = np.float32(scale)
+                        return (tuple(p * sc for p in pre),
+                                tuple(p * sc for p in pim))
+                    if _ABLATE != "no_plane":
+                        pre, pim = _plane_dft_list(pre, pim, sign, scale)
+                    if _ABLATE != "no_twiddle":
+                        for k2 in range(1, c):
+                            tr, ti = t_re[k2, :], t_im[k2, :]
+                            pre[k2], pim[k2] = (
+                                pre[k2] * tr - pim[k2] * ti,
+                                pre[k2] * ti + pim[k2] * tr)
+                    a_re = jnp.concatenate(pre, axis=0)
+                    a_im = jnp.concatenate(pim, axis=0)
+                    if _ABLATE == "no_matmul":
+                        o_re, o_im = a_re, a_im
+                    else:
+                        o_re, o_im = _lane_dft(a_re, a_im, m, m_splits,
+                                               precision)
+                    return (tuple(o_re[k * tile_t:(k + 1) * tile_t]
+                                  for k in range(c)),
+                            tuple(o_im[k * tile_t:(k + 1) * tile_t]
+                                  for k in range(c)))
+
+                pr, pi = jax.lax.fori_loop(
+                    0, multiple_iters, body,
+                    (tuple(_chunks(xr, c)), tuple(_chunks(xi, c))))
+                xr = _cat_lanes(list(pr))
+                xi = _cat_lanes(list(pi))
         kw = {} if rev_in else {"ordered": ordered}
         o_r, o_i = emit(xr, xi, consts, n=n, inverse=inverse,
                         precision=precision, **kw)

@@ -546,35 +546,89 @@ def _build_irfft_direct(plan: P.FFTParams, tile_t: int, precision: str):
     return run
 
 
+def _dot_rowpack(m, x, precision, m_splits):
+    """Row-packed product dot: (128, 128) constant contracted on dim 0
+    with (128, T) data -> (128, T) packed products p[pk, t] =
+    sum_k1 M[k1, pk] x[k1, t] (same precision machinery as _dot_t)."""
+    dims = (((0,), (0,)), ((), ()))
+    if m_splits is not None and n_splits(precision):
+        if precision == "x5":
+            mh, mm, ml = m_splits
+            xh = x.astype(jnp.bfloat16)
+            xm = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (_bdot(mh, xh, dims)
+                    + (_bdot(mm, xh, dims) + _bdot(mh, xm, dims))
+                    + (_bdot(mm, xm, dims) + _bdot(ml, xh, dims)))
+        xh, xl = _split_bf16(x)
+        if precision == "x4":
+            mh, mm, ml = m_splits
+            return (_bdot(mh, xh, dims) + _bdot(mh, xl, dims)
+                    + (_bdot(mm, xh, dims) + _bdot(ml, xh, dims)))
+        mh, ml = m_splits
+        return _bdot(mh, xh, dims) + (_bdot(mh, xl, dims)
+                                      + _bdot(ml, xh, dims))
+    enum = _pc._PREC.get(precision, jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(m, x, dimension_numbers=dims,
+                               precision=enum,
+                               preferred_element_type=jnp.float32)
+
+
+def _irfft_pair_consts(n: int, precision: str):
+    """[M_inv (0.5-scaled packed sym matrix), (splits), tw_r, tw_i].
+
+    M_inv: _sym_matrix(inverse) * 0.5 — contracted on its TIME dim so
+    the packed products feed pallas_c2c._rows_recon directly.
+    tw: the inverse twiddle as flat row columns tw[j1*c + k2] =
+    exp(+2pi i j1 k2 / n), applied as one (n, 1)-broadcast cmul."""
+    c = n // LANES
+    m = np.ascontiguousarray(
+        0.5 * _sym_matrix(n, inverse=True), np.float32)
+    j1 = np.arange(LANES, dtype=np.float64)[:, None]
+    k2 = np.arange(c, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * j1 * k2 / n
+    tw_r = np.cos(ang).reshape(n, 1).astype(np.float32)
+    tw_i = np.sin(ang).reshape(n, 1).astype(np.float32)
+    base = [m]
+    if precision in _pc._SPLIT3:
+        base.extend(_np_split_bf16_3(m))
+    elif precision in _pc._SPLIT2:
+        base.extend(_np_split_bf16(m))
+    base.extend([tw_r, tw_i])
+    return tuple(base)
+
+
 @functools.lru_cache(maxsize=None)
 def _build_irfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
     """Pair-rows C2R kernel: two natural packed spectra (2*tile, L)
     planar pair -> real (2*tile, n), each L-scaled.
 
     z = x_a + i*x_b, so Z[k] = X_a[k] + i*X_b[k] with the Hermitian
-    bottom half Z[n-k] = conj(W[k]), W = X_a - i*X_b — both Z-top and
-    W-top are cheap row combinations of the inputs, and the bottom half
-    never materializes: per chunk u[k2] = A_k2(Z) + w^{-j1} *
-    conj(A_{(c-k2) mod c}(W)) (half-depth 2x2-block dots, 4 per chunk =
-    the c2c dot budget for the two transforms), then inverse twiddle +
-    inverse ladder; the output planes' real parts are x_a, imaginary
-    parts x_b."""
+    bottom half Z[n-k] = conj(W[k]), W = X_a - i*X_b.  Both Z-top and
+    W-top are cheap row combinations of the transposed inputs, and the
+    bottom half is conj(reversed W) — in the k1-major row layout that
+    reversal is 64 c-granular block slices plus a chunk permutation
+    (the blockrev precedent from pallas_c2c._rows_recon; no sublane
+    reversals).  The full (n, T) Z rows then run the inverse c2c from
+    the row side: per chunk TWO row-packed symmetric dots (the c2c MXU
+    budget for the two transforms — half of the 2x2-block A-dot
+    formulation this replaces), pallas_c2c._rows_recon, one flat-row
+    twiddle cmul, and the inverse plane ladder; output planes' real
+    parts are x_a samples, imaginary parts x_b."""
     n = plan.n
     c = n // LANES
     L = n // 2
     T = tile_t
     assert c >= 8
-    consts = _irfft_consts(n, precision)
+    consts = _irfft_pair_consts(n, precision)
     n_c = len(consts)
     ns = n_splits(precision)
 
     def kernel(*refs):
         xr_ref, xi_ref = refs[0], refs[1]
         cs = tuple(r[:] for r in refs[2:2 + n_c])
-        m_r, m_i = cs[:2]
-        mr_splits = cs[2:2 + ns] or None
-        mi_splits = cs[2 + ns:2 + 2 * ns] or None
-        wb_r, wb_i, tc_r, tc_i, alt = cs[2 + 2 * ns:]
+        m_inv = cs[0]
+        m_splits = cs[1:1 + ns] or None
+        tw_r, tw_i = cs[1 + ns:]
         o_ref = refs[2 + n_c]
 
         xr, xi = xr_ref[:], xi_ref[:]      # (2T, L) packed spectra pair
@@ -584,39 +638,58 @@ def _build_irfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
         ib = jnp.transpose(xi[T:])
         dca, nyqa = ra[0:1], ia[0:1]       # slot 0 = (DC, Nyquist)
         dcb, nyqb = rb[0:1], ib[0:1]
-        # Z = X_a + i X_b, W = X_a - i X_b (top rows; slot-0 unpacked)
+        # Z-top = X_a + i X_b, W-top = X_a - i X_b (slot-0 unpacked)
         z_r = jnp.concatenate([dca, ra[1:] - ib[1:]], axis=0)
         z_i = jnp.concatenate([dcb, ia[1:] + rb[1:]], axis=0)
         w_r = jnp.concatenate([dca, ra[1:] + ib[1:]], axis=0)
         w_i = jnp.concatenate([-dcb, ia[1:] - rb[1:]], axis=0)
-        z3r, z3i = z_r.reshape(64, c, T), z_i.reshape(64, c, T)
-        w3r, w3i = w_r.reshape(64, c, T), w_i.reshape(64, c, T)
 
-        az_r, az_i, aw_r, aw_i = [], [], [], []
-        for q in range(c):
-            op_z = jnp.concatenate([z3r[:, q, :], z3i[:, q, :]], axis=0)
-            op_w = jnp.concatenate([w3r[:, q, :], w3i[:, q, :]], axis=0)
-            az_r.append(_dot_mat(m_r, op_z, precision, mr_splits))
-            az_i.append(_dot_mat(m_i, op_z, precision, mi_splits))
-            aw_r.append(_dot_mat(m_r, op_w, precision, mr_splits))
-            aw_i.append(_dot_mat(m_i, op_w, precision, mi_splits))
+        # bottom rows r = 64c + j, j = 0..64c-1: Z[r] = conj(W[64c - j])
+        def bottom(w3):
+            # general branch (k2 >= 1): chunk-permute then block-reverse
+            # (64 c-granular block slices — the blockrev precedent)
+            pw = _perm3(w3, c).reshape(64, c, T)
+            return jnp.concatenate(
+                [pw[63 - k1b:64 - k1b] for k1b in range(64)], axis=0)
 
-        u_r = [None] * c
-        u_i = [None] * c
-        # k2 = 0: u[0] = A_0(Z) + conj(A_0(W)) + (alt*nyq_z - Z[0])/2
-        u_r[0] = (az_r[0] + aw_r[0]) + (alt * (0.5 * nyqa) - 0.5 * dca)
-        u_i[0] = (az_i[0] - aw_i[0]) + (alt * (0.5 * nyqb) - 0.5 * dcb)
-        for k2 in range(1, c):
-            m = c - k2
-            t2r = wb_r * aw_r[m] + wb_i * aw_i[m]
-            t2i = wb_i * aw_r[m] - wb_r * aw_i[m]
-            u_r[k2] = az_r[k2] + t2r
-            u_i[k2] = az_i[k2] + t2i
-        for k2 in range(1, c):
-            tr, ti = tc_r[:, k2:k2 + 1], tc_i[:, k2:k2 + 1]
-            u_r[k2], u_i[k2] = (u_r[k2] * tr - u_i[k2] * ti,
-                                u_r[k2] * ti + u_i[k2] * tr)
-        p_r, p_i = _plane_dft_list(u_r, u_i, +1.0)
+        z3r_top = z_r.reshape(64, c, T)
+        z3i_top = z_i.reshape(64, c, T)
+        w3r = w_r.reshape(64, c, T)
+        w3i = w_i.reshape(64, c, T)
+        bot_r_gen = bottom(w3r)
+        bot_i_gen = bottom(w3i)
+        # k2 = 0 column: sources W[(64-k1b)*c], with the virtual row
+        # W[64c] = nyq_w = nyqa - i*nyqb
+        col_r = jnp.concatenate(
+            [nyqa] + [w3r[64 - k1b, 0:1, :] for k1b in range(1, 64)],
+            axis=0).reshape(64, 1, T)
+        col_i = jnp.concatenate(
+            [-nyqb] + [w3i[64 - k1b, 0:1, :] for k1b in range(1, 64)],
+            axis=0).reshape(64, 1, T)
+        k2mask = jax.lax.broadcasted_iota(jnp.int32, (1, c, 1), 1) == 0
+        bot_r = jnp.where(k2mask, col_r, bot_r_gen)
+        bot_i = -jnp.where(k2mask, col_i, bot_i_gen)   # conj
+        rows_r = jnp.concatenate(
+            [z3r_top, bot_r], axis=0).reshape(n, T)
+        rows_i = jnp.concatenate(
+            [z3i_top, bot_i], axis=0).reshape(n, T)
+
+        # inverse lane DFT per chunk: TWO row-packed dots (c2c budget)
+        v3r = rows_r.reshape(LANES, c, T)
+        v3i = rows_i.reshape(LANES, c, T)
+        zq_r = [_dot_rowpack(m_inv, v3r[:, q, :], precision, m_splits)
+                for q in range(c)]
+        zq_i = [_dot_rowpack(m_inv, v3i[:, q, :], precision, m_splits)
+                for q in range(c)]
+        u_r, u_i = _pc._rows_recon(zq_r, zq_i)   # (128c, T) rows j1*c+k2
+        # inverse twiddle w_n^{+j1*k2} as one flat-row cmul
+        u_r, u_i = (u_r * tw_r - u_i * tw_i,
+                    u_r * tw_i + u_i * tw_r)
+        u3r = u_r.reshape(LANES, c, T)
+        u3i = u_i.reshape(LANES, c, T)
+        p_r, p_i = _plane_dft_list(
+            [u3r[:, k2, :] for k2 in range(c)],
+            [u3i[:, k2, :] for k2 in range(c)], +1.0)
         # plane j2's real part = x_a samples, imaginary part = x_b
         o_ref[:] = jnp.concatenate(
             [jnp.transpose(jnp.concatenate(p_r, axis=0)),

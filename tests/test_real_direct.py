@@ -61,6 +61,43 @@ def test_roundtrip_and_padding(rng):
     assert max_abs_err(back, x) < 1e-4
 
 
+@pytest.mark.parametrize("n", [1024, 2048])
+def test_rfft_pair_matches_numpy(rng, n):
+    """Pair-rows kernel: two real rows per complex pass with the
+    row-domain Hermitian split — must be caller-invisible (row i of the
+    output is the spectrum of row i)."""
+    L = n // 2
+    x = (rng.random((32, n)) - 0.5).astype(np.float32)
+    o_r, o_i = RD.rfft_pair_planar(jnp.array(x), tile_t=16)
+    got = np.asarray(o_r) + 1j * np.asarray(o_i)
+    ref = np.fft.rfft(x.astype(np.float64))
+    assert max_abs_err(got[:, 0].real, ref[:, 0].real) < 1e-4
+    assert max_abs_err(got[:, 0].imag, ref[:, L].real) < 1e-4
+    assert max_abs_err(got[:, 1:], ref[:, 1:L]) < 1e-4
+
+
+def test_irfft_pair_matches_numpy(rng):
+    n, L = 1024, 512
+    x = (rng.random((32, n)) - 0.5).astype(np.float64)
+    spec = np.fft.rfft(x)
+    pk = np.concatenate(
+        [spec[:, :1].real + 1j * spec[:, L:L + 1].real, spec[:, 1:L]],
+        axis=1).astype(np.complex64)
+    out = np.asarray(RD.irfft_pair_planar(
+        jnp.array(pk.real.copy()), jnp.array(pk.imag.copy()), n,
+        tile_t=16))
+    assert max_abs_err(out / L, x) < 1e-4
+
+
+def test_pair_roundtrip_odd_batch(rng):
+    n, L = 2048, 1024
+    x = (rng.random((19, n)) - 0.5).astype(np.float32)
+    o_r, o_i = RD.rfft_pair_planar(jnp.array(x), tile_t=16)
+    assert o_r.shape == (19, L)
+    back = np.asarray(RD.irfft_pair_planar(o_r, o_i, n, tile_t=16)) / L
+    assert max_abs_err(back, x) < 1e-4
+
+
 def test_bounds():
     with pytest.raises(ValueError, match="wrong FFT length"):
         RD.rfft_direct_planar(jnp.zeros((8, 512), jnp.float32))
