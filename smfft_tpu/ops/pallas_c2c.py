@@ -493,6 +493,8 @@ def _plane_dft_list(pre, pim, sign: float, scale: float | None = None):
         if scale is not None:
             return [_nmul(pre[0], scale)], [_nmul(pim[0], scale)]
         return pre, pim
+    if c % 8 == 0:
+        return _plane_dft8(pre, pim, sign, scale)
     if c % 4 == 0:
         sub = [_plane_dft_list(pre[j::4], pim[j::4], sign) for j in range(4)]
         q = c // 4
@@ -535,6 +537,72 @@ def _plane_dft_list(pre, pim, sign: float, scale: float | None = None):
         out_r[k], out_i[k] = _nadd(er[k], tr), _nadd(ei[k], ti)
         out_r[k + c // 2] = _nsub(er[k], tr)
         out_i[k + c // 2] = _nsub(ei[k], ti)
+    return out_r, out_i
+
+
+_SQRT_HALF = math.sqrt(0.5)
+
+
+def _dft4_n(t, sign):
+    """Inline None-aware 4-point DIT butterfly on 4 (re, im) pairs."""
+    a0r, a0i = _nadd(t[0][0], t[2][0]), _nadd(t[0][1], t[2][1])
+    a1r, a1i = _nsub(t[0][0], t[2][0]), _nsub(t[0][1], t[2][1])
+    a2r, a2i = _nadd(t[1][0], t[3][0]), _nadd(t[1][1], t[3][1])
+    a3r, a3i = _nsub(t[1][0], t[3][0]), _nsub(t[1][1], t[3][1])
+    j3r, j3i = (_nneg(a3i), a3r) if sign > 0 else (a3i, _nneg(a3r))
+    return ((_nadd(a0r, a2r), _nadd(a0i, a2i)),
+            (_nadd(a1r, j3r), _nadd(a1i, j3i)),
+            (_nsub(a0r, a2r), _nsub(a0i, a2i)),
+            (_nsub(a1r, j3r), _nsub(a1i, j3i)))
+
+
+def _plane_dft8(pre, pim, sign: float, scale: float | None = None):
+    """Radix-8 level of the plane ladder: one plane materialization
+    where two radix-4/2 levels would pay two.  The pencil kernels'
+    ladder is VMEM-traffic bound at large plane counts (each level
+    reads+writes every plane), so fewer, fatter levels buy bandwidth;
+    the w_8 = (1 -+ i)/sqrt(2) twiddles cost 2 plane-mults each."""
+    c = len(pre)
+    q = c // 8
+    sub = [_plane_dft_list(pre[j::8], pim[j::8], sign) for j in range(8)]
+    out_r = [None] * c
+    out_i = [None] * c
+    s8 = _SQRT_HALF
+    for k in range(q):
+        ws = [_w_scalar(sign, j * k, c) for j in range(8)]
+        if scale is not None:
+            ws = [(wr * scale, wi * scale) for wr, wi in ws]
+        t = [ _cmul_scalar(sub[j][0][k], sub[j][1][k], *ws[j])
+              for j in range(8)]
+        ev = _dft4_n((t[0], t[2], t[4], t[6]), sign)
+        od = _dft4_n((t[1], t[3], t[5], t[7]), sign)
+        # X[m] = E[m] + w_8^m O[m], X[m+4] = E[m] - w_8^m O[m]
+        for m in range(4):
+            er, ei = ev[m]
+            orr, oi = od[m]
+            if m == 0:
+                wr_, wi_ = orr, oi
+            elif m == 2:                        # w = -+i
+                wr_, wi_ = ((_nneg(oi), orr) if sign > 0
+                            else (oi, _nneg(orr)))
+            else:
+                # w_8^1 = (1 -+ i)/sqrt2, w_8^3 = -(1 +- i)/sqrt2 (fwd)
+                pr_ = _nmul(orr, s8)
+                pi_ = _nmul(oi, s8)
+                if m == 1:
+                    wr_, wi_ = ((_nsub(pr_, pi_), _nadd(pi_, pr_))
+                                if sign > 0 else
+                                (_nadd(pr_, pi_), _nsub(pi_, pr_)))
+                else:
+                    wr_, wi_ = ((_nneg(_nadd(pr_, pi_)),
+                                 _nsub(pr_, pi_))
+                                if sign > 0 else
+                                (_nsub(pi_, pr_),
+                                 _nneg(_nadd(pi_, pr_))))
+            out_r[k + m * q] = _nadd(er, wr_)
+            out_i[k + m * q] = _nadd(ei, wi_)
+            out_r[k + (m + 4) * q] = _nsub(er, wr_)
+            out_i[k + (m + 4) * q] = _nsub(ei, wi_)
     return out_r, out_i
 
 

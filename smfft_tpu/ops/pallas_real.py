@@ -322,15 +322,22 @@ def rfft_fused_planar(x: jnp.ndarray, precision: str = "highest",
     if n < 256 or n not in P.SUPPORTED_REAL_SIZES:
         raise ValueError(f"rfft_fused requires real n in "
                          f"{[s for s in P.SUPPORTED_REAL_SIZES if s >= 256]}")
-    if (ordered and n <= 4096 and tile_t is None
+    if (ordered and n <= 2048 and tile_t is None
             and precision in ("highest", "high")):
         # natural-order spectra come from the pencil kernel at full
-        # bandwidth (every structural op is a free plane-list
-        # manipulation there — ops/pencil.py); n = 8192 and the bf16
-        # precision modes stay on the matmul kernel (the pencil ladder
-        # is pure fp32 VPU)
+        # bandwidth for n <= 2048 (every structural op is a free
+        # plane-list manipulation there — ops/pencil.py; device-
+        # measured 612-640 GB/s); the bf16 precision modes stay on
+        # matmul kernels (the pencil ladder is pure fp32 VPU)
         from smfft_tpu.ops import pencil
         return pencil.rfft_pencil_planar(x, n)
+    if ordered and n >= 4096 and tile_t is None:
+        # n >= 4096: the pair-rows direct kernel (ops/real_direct.py)
+        # — two real rows per c2c pass, row-domain Hermitian split;
+        # 545/509 GB/s at 4096/8192 vs 463/310 for the pencil/digit-
+        # swap paths (tools/tune_real_direct.py, v5e)
+        from smfft_tpu.ops import real_direct
+        return real_direct.rfft_pair_planar(x, precision=precision)
     precision = _pc.resolve_scheme_real(precision, n)
     rows = x.shape[0]
     pad = (-rows) % 8

@@ -22,6 +22,8 @@ COLS = (("external_gbs", "ext GB/s"), ("inverse_gbs", "inv GB/s"),
         ("c2r_gbs", "c2r GB/s"), ("external_mffts", "ext MFFT/s"),
         ("multiple_mffts", "mult MFFT/s"),
         ("multiple_pencil_mffts", "mult[pencil] MFFT/s"),
+        ("multiple_r2c_mffts", "mult[r2c] MFFT/s"),
+        ("multiple_high_mffts", "mult[high] MFFT/s"),
         ("multiple_fast_mffts", "mult[fast] MFFT/s"))
 
 
