@@ -8,8 +8,8 @@ one HBM read + one HBM write per transform, all butterfly work in VMEM.
 Algorithm: two-factor decimation split N = C * 128 with the 128-point part
 contracted on the LANE axis by a dense DFT matmul — the MXU is the TPU's
 lane-mixing network, replacing the reference's warp shuffles — and the
-C-point part computed by a recursive radix-4 ladder over register planes
-on the VPU.  Complex arithmetic is planar fp32 (Mosaic has no complex
+C-point part computed by a recursive radix-8/4 ladder over register
+planes on the VPU.  Complex arithmetic is planar fp32 (Mosaic has no complex
 dtype); the lane DFT exploits the DFT matrix's mirror symmetry to run as
 TWO real matmuls against one packed 128x128 matrix plus a cheap lane
 reconstruction (see _sym_matrix), 2/3 of the Karatsuba complex product's
@@ -473,13 +473,15 @@ def _w_scalar(sign: float, k: int, c: int):
 
 
 def _plane_dft_list(pre, pim, sign: float, scale: float | None = None):
-    """Recursive radix-4 (radix-2 fallback) DIT DFT over a python list of
-    (T, 128) planes.
+    """Recursive radix-8 (radix-4/2 fallback) DIT DFT over a python list
+    of (T, 128) planes.
 
     Plane extraction/recombination is a leading-dim operation — no
     lane/sublane relayout — so the C-point sublane transform costs a few
     VPU flops/point/level with python-scalar twiddles.  Radix-4 halves the
-    number of levels (and therefore intermediate-value traffic) vs radix-2.
+    number of levels (and therefore intermediate-value traffic) vs radix-2,
+    and radix-8 (_plane_dft8) cuts another third — the pencil kernels'
+    ladders are VMEM-traffic bound in levels at large plane counts.
     This replaces both the reference's padded-shared-memory exchange stages
     (FFT-GPU-32bit.cu:456-490) and a Mosaic-hostile tiny matmul.
 

@@ -81,7 +81,7 @@ from smfft_tpu.ops.pallas_c2c import (
 
 # Batch-tile rows per grid step (device-tuned on v5e; see
 # tools/tune_real_direct.py)
-_TILES = {1024: 512, 2048: 256, 4096: 256, 8192: 128, 16384: 128}
+_TILES = {1024: 128, 2048: 128, 4096: 128, 8192: 128, 16384: 64}
 
 
 def _tile_for(n: int) -> int:
@@ -331,10 +331,13 @@ def _build_rfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
         xa_i = jnp.concatenate([wr[h:h + 1], xa_i[1:]], axis=0)
         xb_i = jnp.concatenate([wi[h:h + 1], xb_i[1:]], axis=0)
 
-        or_ref[:] = jnp.concatenate(
-            [jnp.transpose(xa_r), jnp.transpose(xb_r)], axis=0)
-        oi_ref[:] = jnp.concatenate(
-            [jnp.transpose(xa_i), jnp.transpose(xb_i)], axis=0)
+        # one wide transpose per planar output: lane-concat the two
+        # spectra side by side first, so columns 0..T-1 land as rows
+        # 0..T-1 (X_a) and T..2T-1 as X_b
+        or_ref[:] = jnp.transpose(
+            jnp.concatenate([xa_r, xb_r], axis=1))
+        oi_ref[:] = jnp.transpose(
+            jnp.concatenate([xa_i, xb_i], axis=1))
 
     in_spec = pl.BlockSpec((2 * T, n), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -632,10 +635,10 @@ def _build_irfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
         o_ref = refs[2 + n_c]
 
         xr, xi = xr_ref[:], xi_ref[:]      # (2T, L) packed spectra pair
-        ra = jnp.transpose(xr[:T])         # (L, T) rows: X_a
-        ia = jnp.transpose(xi[:T])
-        rb = jnp.transpose(xr[T:])         # X_b
-        ib = jnp.transpose(xi[T:])
+        txr = jnp.transpose(xr)            # (L, 2T): cols 0..T-1 = X_a
+        txi = jnp.transpose(xi)
+        ra, rb = txr[:, :T], txr[:, T:]    # free lane slices
+        ia, ib = txi[:, :T], txi[:, T:]
         dca, nyqa = ra[0:1], ia[0:1]       # slot 0 = (DC, Nyquist)
         dcb, nyqb = rb[0:1], ib[0:1]
         # Z-top = X_a + i X_b, W-top = X_a - i X_b (slot-0 unpacked)
@@ -644,31 +647,28 @@ def _build_irfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
         w_r = jnp.concatenate([dca, ra[1:] + ib[1:]], axis=0)
         w_i = jnp.concatenate([-dcb, ia[1:] - rb[1:]], axis=0)
 
-        # bottom rows r = 64c + j, j = 0..64c-1: Z[r] = conj(W[64c - j])
-        def bottom(w3):
-            # general branch (k2 >= 1): chunk-permute then block-reverse
-            # (64 c-granular block slices — the blockrev precedent)
+        # bottom rows r = 64c + j, j = 0..64c-1: Z[r] = conj(W[64c - j]).
+        # Chunk-permute once, append the virtual Nyquist row W[64c] (its
+        # k2=0 entry is nyq_w; other lanes only feed the k2=0-masked
+        # branch and are never selected), then BOTH branch row sets are
+        # c-granular block-reversed slices of the same extended array.
+        def bottom(w3, nyqw):
             pw = _perm3(w3, c).reshape(64, c, T)
-            return jnp.concatenate(
-                [pw[63 - k1b:64 - k1b] for k1b in range(64)], axis=0)
+            pwx = jnp.concatenate(
+                [pw, nyqw[None, :, :]], axis=0)          # (65, c, T)
+            gen = jnp.concatenate(                        # k2 >= 1
+                [pwx[63 - k1b:64 - k1b] for k1b in range(64)], axis=0)
+            col = jnp.concatenate(                        # k2 == 0
+                [pwx[64 - k1b:65 - k1b] for k1b in range(64)], axis=0)
+            return jnp.where(k2mask, col, gen)
 
+        k2mask = jax.lax.broadcasted_iota(jnp.int32, (1, c, 1), 1) == 0
         z3r_top = z_r.reshape(64, c, T)
         z3i_top = z_i.reshape(64, c, T)
-        w3r = w_r.reshape(64, c, T)
-        w3i = w_i.reshape(64, c, T)
-        bot_r_gen = bottom(w3r)
-        bot_i_gen = bottom(w3i)
-        # k2 = 0 column: sources W[(64-k1b)*c], with the virtual row
-        # W[64c] = nyq_w = nyqa - i*nyqb
-        col_r = jnp.concatenate(
-            [nyqa] + [w3r[64 - k1b, 0:1, :] for k1b in range(1, 64)],
-            axis=0).reshape(64, 1, T)
-        col_i = jnp.concatenate(
-            [-nyqb] + [w3i[64 - k1b, 0:1, :] for k1b in range(1, 64)],
-            axis=0).reshape(64, 1, T)
-        k2mask = jax.lax.broadcasted_iota(jnp.int32, (1, c, 1), 1) == 0
-        bot_r = jnp.where(k2mask, col_r, bot_r_gen)
-        bot_i = -jnp.where(k2mask, col_i, bot_i_gen)   # conj
+        nyqw_r = jnp.broadcast_to(nyqa, (c, T))
+        nyqw_i = jnp.broadcast_to(-nyqb, (c, T))
+        bot_r = bottom(w_r.reshape(64, c, T), nyqw_r)
+        bot_i = -bottom(w_i.reshape(64, c, T), nyqw_i)   # conj
         rows_r = jnp.concatenate(
             [z3r_top, bot_r], axis=0).reshape(n, T)
         rows_i = jnp.concatenate(
@@ -690,10 +690,12 @@ def _build_irfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
         p_r, p_i = _plane_dft_list(
             [u3r[:, k2, :] for k2 in range(c)],
             [u3i[:, k2, :] for k2 in range(c)], +1.0)
-        # plane j2's real part = x_a samples, imaginary part = x_b
-        o_ref[:] = jnp.concatenate(
-            [jnp.transpose(jnp.concatenate(p_r, axis=0)),
-             jnp.transpose(jnp.concatenate(p_i, axis=0))], axis=0)
+        # plane j2's real part = x_a samples, imaginary part = x_b;
+        # lane-concat re|im so ONE wide transpose lands rows 0..T-1 =
+        # x_a and T..2T-1 = x_b
+        o_ref[:] = jnp.transpose(jnp.concatenate(
+            [jnp.concatenate(p_r, axis=0),
+             jnp.concatenate(p_i, axis=0)], axis=1))
 
     in_spec = pl.BlockSpec((2 * T, L), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
