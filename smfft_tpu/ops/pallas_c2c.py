@@ -924,7 +924,7 @@ _TUNED_TILES = {32: 2048, 64: 2048, 128: 2048, 256: 1024, 512: 1024,
                 1024: 512, 2048: 256, 4096: 256, 8192: 128}
 # (256/512 route to the pencil kernel; entries kept for the explicit
 # tile_t override path)
-_TUNED_TILES_ORDERED = {256: 1024, 512: 1024, 1024: 256, 2048: 256,
+_TUNED_TILES_ORDERED = {256: 1024, 512: 1024, 1024: 512, 2048: 128,
                         4096: 128, 8192: 128}
 
 # Ordered sizes served by the pencil-layout kernel (ops/pencil.py): the

@@ -168,6 +168,48 @@ def main():
         check(f"pencil reuse  n={n} highest",
               np.max(np.abs(got - ref)), tol(n, "highest"))
 
+    # round-3 additions: pair-rows real kernels, the size-adaptive
+    # "high" tier's manual split schemes, and the real reuse loop —
+    # every one must compile AND verify through Mosaic, not just the
+    # interpreter
+    from smfft_tpu.ops import real_direct as RD
+    for n in (4096, 8192):
+        L = n // 2
+        xr = (rng.random((512, n)) * 2 - 1).astype(np.float32)
+        o_r, o_i = RD.rfft_pair_planar(jnp.array(xr))
+        got = np.asarray(o_r) + 1j * np.asarray(o_i)
+        ref = np.fft.rfft(xr.astype(np.float64))
+        full = np.concatenate(
+            [np.real(got[:, :1]), got[:, 1:], np.imag(got[:, :1])],
+            axis=1)
+        full[:, 0] = np.real(got[:, 0])
+        check(f"r2c pair      n={n} highest",
+              np.max(np.abs(full - ref)), tol(n, "highest"))
+        back = np.asarray(RD.irfft_pair_planar(o_r, o_i, n)) / L
+        check(f"c2r pair rt   n={n} highest",
+              np.max(np.abs(back - xr)), tol(n, "highest"))
+
+    for n, scheme in ((256, "x4"), (512, "x5"), (128, "x3")):
+        x = (rng.random((256, n)) + 1j * rng.random((256, n))
+             - 0.5 - 0.5j).astype(np.complex64)
+        vr = jnp.array(np.ascontiguousarray(x.real))
+        vi = jnp.array(np.ascontiguousarray(x.imag))
+        o_r, o_i = PC.fft_planar(vr, vi, n, precision="high")
+        got = np.asarray(o_r) + 1j * np.asarray(o_i)
+        c = n // 128
+        if c > 1:
+            got = got.reshape(-1, c, 128).transpose(0, 2, 1).reshape(
+                -1, n)
+        check(f"high tier ({scheme}) n={n}",
+              np.max(np.abs(got - np.fft.fft(x.astype(np.complex128)))),
+              1e-4)
+
+    for n in (512, 2048):
+        xr = (rng.random((1024, n)) - 0.5).astype(np.float32)
+        out = np.asarray(PEN.multiple_real_pencil_planar(
+            jnp.array(xr), n, iters=4))
+        check(f"real reuse rt n={n}", np.max(np.abs(out - xr)), 1e-4)
+
     print(f"{'ALL PASSED' if failures == 0 else f'{failures} FAILURES'}")
     return 0 if failures == 0 else 1
 
