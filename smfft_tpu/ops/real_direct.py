@@ -98,12 +98,15 @@ def supported(n: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _rfft_consts(n: int, precision: str):
+def _rfft_consts(n: int, precision: str, half: bool = False):
     """[t_re, t_im, M (+ M splits)] — identical tables to the c2c kernel
     at size n (the direct transform IS the c2c decomposition applied to
-    real data)."""
+    real data).  half=True bakes the pair-split's 1/2 into M so the
+    split stage is pure adds (the slot-0 Nyquist patch pays a 2x)."""
     _, _, t_re, t_im, _, _ = _tables(n, inverse=False)
     m = _sym_matrix(n, inverse=False)
+    if half:
+        m = np.ascontiguousarray(0.5 * m, np.float32)
     f32 = lambda a: np.ascontiguousarray(a, np.float32)
     base = [f32(t_re), f32(t_im), m]
     if precision in _pc._SPLIT3:
@@ -264,7 +267,7 @@ def _build_rfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
     h = 64 * c
     T = tile_t
     assert c >= 8
-    consts = _rfft_consts(n, precision)
+    consts = _rfft_consts(n, precision, half=True)
     n_c = len(consts)
 
     def kernel(*refs):
@@ -317,19 +320,21 @@ def _build_rfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
         zm_r = jnp.where(k2mask, colfix_r, zm_r_gen)
         zm_i = jnp.where(k2mask, colfix_i, zm_i_gen)
 
-        # split into the two packed spectra (flat (h, T) rows)
-        half = jnp.float32(0.5)
+        # split into the two packed spectra (flat (h, T) rows); the
+        # 1/2 is baked into M, so these are pure adds
         zr_top = zr_top.reshape(h, T)
         zi_top = zi_top.reshape(h, T)
         zm_r = zm_r.reshape(h, T)
         zm_i = zm_i.reshape(h, T)
-        xa_r = (zr_top + zm_r) * half
-        xa_i = (zi_top - zm_i) * half
-        xb_r = (zi_top + zm_i) * half
-        xb_i = (zm_r - zr_top) * half
-        # slot-0 Nyquist patches (DC lands correct automatically)
-        xa_i = jnp.concatenate([wr[h:h + 1], xa_i[1:]], axis=0)
-        xb_i = jnp.concatenate([wi[h:h + 1], xb_i[1:]], axis=0)
+        xa_r = zr_top + zm_r
+        xa_i = zi_top - zm_i
+        xb_r = zi_top + zm_i
+        xb_i = zm_r - zr_top
+        # slot-0 Nyquist patches (DC lands correct automatically; the
+        # raw packed rows carry the baked 1/2, so the patch pays a 2x)
+        two = jnp.float32(2.0)
+        xa_i = jnp.concatenate([wr[h:h + 1] * two, xa_i[1:]], axis=0)
+        xb_i = jnp.concatenate([wi[h:h + 1] * two, xb_i[1:]], axis=0)
 
         # one wide transpose per planar output: lane-concat the two
         # spectra side by side first, so columns 0..T-1 land as rows
