@@ -25,20 +25,28 @@ Three products ride this:
    core to shared-memory-resident data (FFT-GPU-32bit.cu:553-572,
    README.md:84-91); the matmul-DFT in-VMEM loop is MXU-bound at
    ~external parity (BENCH_DETAILS "multiple_ablation"), but the pencil
-   ladder re-applies with no per-iteration relayout: reuse ratios of
-   4.2/3.4/3.1/2.7/2.5/2.3/2.1/1.7x external across N = 32..4096 on
-   v5e (the reference's own curve: 5.1/4.1/3.0/2.6/2.3/2.1/1.8/1.6x) —
-   e.g. 5350 MFFT/s at N = 32, 92 at N = 1024, 16.6 at N = 4096 with
-   512-row blocks.  Per-iteration output is scaled by 1/sqrt(n) to
-   keep 100 re-applications bounded.
+   ladder re-applies with no per-iteration relayout — radix-8 levels,
+   plane-list fori_loop carry at small n (no per-iteration
+   concat/re-slice), 2x-unrolled body, and the 1/sqrt(n) bounding
+   scale folded into the top-level twiddles.  Round-3 v5e: reuse
+   ratios 5.2/4.8/4.6/3.9/…/1.7x external across N = 32..4096 (the
+   reference's own curve: 5.1/4.1/3.0/2.6/2.3/2.1/1.8/1.6x — at or
+   above it at every size); 6675 MFFT/s at N = 32, 104 at N = 1024,
+   16.6 at N = 4096 (512-row blocks).
 2. ``fft_pencil_planar`` — single-pass natural-order C2C for
-   N = 256/512, full HBM roofline (658/655 GB/s) where the matmul
+   N = 256/512, full HBM roofline (658/656 GB/s) where the matmul
    ordered merge pays sub-sublane-granule slices.
 3. ``rfft_pencil_planar`` / ``irfft_pencil_planar`` — fused R2C/C2R
    (SMFFT_Stockham_R2C_C2R/FFT-GPU-32bit-Stockham.cu:269-344 parity:
    half-size complex core + split/merge with W(N, k), packed
    (DC, Nyquist) slot 0, unnormalized L-scaled inverse) with
-   natural-order spectra and zero gather/relayout cost.
+   natural-order spectra and zero gather/relayout cost; the product
+   natural-order path for r2c N <= 2048 and c2r N <= 4096 (the
+   pair-rows kernel, ops/real_direct.py, takes r2c above that).
+4. ``multiple_real_pencil_planar`` — the REAL-transform reuse loop
+   (rfft -> irfft pairs on VMEM-resident pencils, the R2C
+   FFT_multiple_benchmark analogue): 434/200/92/38 MFFT/s at
+   N = 512..4096 on v5e, 2.3-2.8x the external real rate.
 """
 
 from __future__ import annotations

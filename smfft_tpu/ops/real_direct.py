@@ -1,5 +1,6 @@
-"""Direct full-size real-transform kernels — natural-order R2C/C2R at
-HBM-roofline for n >= 1024.
+"""Direct and pair-rows real-transform kernels — the natural-order R2C
+product path for n >= 4096 (rfft_pair_planar: 535/530 GB/s at
+4096/8192 on v5e vs 463/310 for the pencil/digit-swap paths).
 
 The classic half-size-complex real FFT (ops/pallas_real.py, mirroring
 the reference's do_FFT_Stockham_R2C_C2R,
@@ -9,6 +10,22 @@ costs that dominate at large N on TPU: the even/odd LANE deinterleave
 BENCH_DETAILS "real ablation": no_deint 550 vs full 424 GB/s at
 n=4096) and, for natural-order output, either the pencil ladder
 (VPU-bound at L = 2048 planes) or a digit-swap relayout.
+
+Two generations live here, both fully tested:
+
+* the SINGLE-transform direct kernels (rfft_direct_planar /
+  irfft_direct_planar) — measured 320-372 GB/s: a real transform
+  only halves the ladder leaves/recon/transpose, not the
+  twiddle/dots/pack, so per-byte compute is ~1.7x c2c's and cannot
+  hide under the half-sized HBM stream;
+* the PAIR-ROWS kernels (rfft_pair_planar / irfft_pair_planar) — two
+  real rows ride ONE c2c pass as (re, im), halving per-transform
+  compute back to c2c's ratio.  The forward is the product path at
+  n >= 4096.  The inverse pair kernel is retained (tested, honest
+  numbers: 300-365 GB/s — its input-side transposes and Hermitian
+  row assembly exceed the pencil kernel's cost) but NOT dispatched:
+  natural-order C2R stays on the pencil kernel (<= 4096, 430-646
+  GB/s) and the digit-swap matmul kernel (8192+, 405).
 
 These kernels instead run the real transform DIRECTLY at full length n
 through the c2c two-factor machinery (n = n1 + 128*n2, c = n/128
