@@ -725,13 +725,15 @@ def _build_irfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
                             memory_space=pltpu.VMEM)
     const_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_c
 
+    vmem_mb = 116 if n >= 8192 else 100
+
     @jax.jit
     def run(vr, vi):
         b = vr.shape[0]
         compiler_params = None
         if not _pc._INTERPRET:
             compiler_params = pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=vmem_mb * 1024 * 1024,
                 dimension_semantics=("parallel",))
         return pl.pallas_call(
             kernel,

@@ -171,9 +171,18 @@ def main():
     # round-3 additions: pair-rows real kernels, the size-adaptive
     # "high" tier's manual split schemes, and the real reuse loop —
     # every one must compile AND verify through Mosaic, not just the
-    # interpreter
+    # interpreter.  A compile failure counts as a FAIL, not a crash.
+    def guarded(name, fn):
+        nonlocal failures
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            print(f"FAIL {name}: {str(e)[:110]}")
+
     from smfft_tpu.ops import real_direct as RD
-    for n in (4096, 8192):
+
+    def pair_checks(n):
         L = n // 2
         xr = (rng.random((512, n)) * 2 - 1).astype(np.float32)
         o_r, o_i = RD.rfft_pair_planar(jnp.array(xr))
@@ -189,7 +198,10 @@ def main():
         check(f"c2r pair rt   n={n} highest",
               np.max(np.abs(back - xr)), tol(n, "highest"))
 
-    for n, scheme in ((256, "x4"), (512, "x5"), (128, "x3")):
+    for n in (4096, 8192):
+        guarded(f"pair kernels n={n}", lambda n=n: pair_checks(n))
+
+    def high_check(n, scheme):
         x = (rng.random((256, n)) + 1j * rng.random((256, n))
              - 0.5 - 0.5j).astype(np.complex64)
         vr = jnp.array(np.ascontiguousarray(x.real))
@@ -204,11 +216,17 @@ def main():
               np.max(np.abs(got - np.fft.fft(x.astype(np.complex128)))),
               1e-4)
 
-    for n in (512, 2048):
+    for n, scheme in ((256, "x4"), (512, "x5"), (128, "x3")):
+        guarded(f"high tier n={n}", lambda n=n, s=scheme: high_check(n, s))
+
+    def real_reuse_check(n):
         xr = (rng.random((1024, n)) - 0.5).astype(np.float32)
         out = np.asarray(PEN.multiple_real_pencil_planar(
             jnp.array(xr), n, iters=4))
         check(f"real reuse rt n={n}", np.max(np.abs(out - xr)), 1e-4)
+
+    for n in (512, 2048):
+        guarded(f"real reuse n={n}", lambda n=n: real_reuse_check(n))
 
     print(f"{'ALL PASSED' if failures == 0 else f'{failures} FAILURES'}")
     return 0 if failures == 0 else 1
