@@ -332,10 +332,10 @@ def rfft_fused_planar(x: jnp.ndarray, precision: str = "highest",
         from smfft_tpu.ops import pencil
         return pencil.rfft_pencil_planar(x, n)
     if ordered and n >= 4096 and tile_t is None:
-        # n >= 4096: the pair-rows direct kernel (ops/real_direct.py)
-        # — two real rows per c2c pass, row-domain Hermitian split;
-        # 545/509 GB/s at 4096/8192 vs 463/310 for the pencil/digit-
-        # swap paths (tools/tune_real_direct.py, v5e)
+        # n >= 4096: the pair-rows kernel (ops/real_direct.py) — two
+        # real rows ride one UNMODIFIED ordered-c2c pass, lane-domain
+        # Hermitian split; 547/525 GB/s at 4096/8192 vs 463/310 for
+        # the pencil/digit-swap paths (tools/tune_real_direct.py, v5e)
         from smfft_tpu.ops import real_direct
         return real_direct.rfft_pair_planar(x, precision=precision)
     precision = _pc.resolve_scheme_real(precision, n)
@@ -577,13 +577,22 @@ def irfft_fused_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
     if n < 256 or n not in P.SUPPORTED_REAL_SIZES:
         raise ValueError(f"irfft_fused requires real n in "
                          f"{[s for s in P.SUPPORTED_REAL_SIZES if s >= 256]}")
-    if (in_natural and n <= 4096 and tile_t is None
+    if (in_natural and n <= 1024 and tile_t is None
             and precision in ("highest", "high")):
         # natural-order packed spectrum -> pencil kernel (see
-        # rfft_fused_planar); n = 8192 and the bf16 precision modes
-        # stay on the matmul kernel with the in-kernel digit_swap_split
+        # rfft_fused_planar); the bf16 precision modes stay on the
+        # matmul kernel with the in-kernel digit_swap_split
         from smfft_tpu.ops import pencil
         return pencil.irfft_pencil_planar(vr, vi, n)
+    if in_natural and n >= 2048 and tile_t is None:
+        # n >= 2048: the pair-rows kernel (ops/real_direct.py) — two
+        # spectra ride one UNMODIFIED ordered-inverse-c2c pass via a
+        # lane-domain Hermitian assembly; 580/578/554 GB/s at
+        # 2048/4096/8192 vs 566/429/389 for the pencil/digit-swap
+        # paths (tools/tune_real_direct.py, v5e)
+        from smfft_tpu.ops import real_direct
+        return real_direct.irfft_pair_planar(vr, vi, n,
+                                             precision=precision)
     precision = _pc.resolve_scheme_real(precision, n)
     rows = vr.shape[0]
     pad = (-rows) % 8

@@ -1,6 +1,6 @@
-"""Direct and pair-rows real-transform kernels — the natural-order R2C
-product path for n >= 4096 (rfft_pair_planar: 535/530 GB/s at
-4096/8192 on v5e vs 463/310 for the pencil/digit-swap paths).
+"""Direct and pair-rows real-transform kernels — the natural-order
+large-N real-transform product paths (rfft_pair_planar /
+irfft_pair_planar; dispatch thresholds in ops/pallas_real.py).
 
 The classic half-size-complex real FFT (ops/pallas_real.py, mirroring
 the reference's do_FFT_Stockham_R2C_C2R,
@@ -11,72 +11,42 @@ BENCH_DETAILS "real ablation": no_deint 550 vs full 424 GB/s at
 n=4096) and, for natural-order output, either the pencil ladder
 (VPU-bound at L = 2048 planes) or a digit-swap relayout.
 
-Two generations live here, both fully tested:
+The PAIR-ROWS kernels eliminate both: two real rows ride ONE c2c pass
+as z = x_a + i*x_b (rows a/b are the two halves of the grid block —
+FREE sublane slices, no interleave anywhere), so per-transform compute
+is exactly half a c2c transform's — the same compute-per-HBM-byte as
+the full-roofline c2c paths.  Both directions are thin wrappers around
+the UNMODIFIED ordered-c2c pipeline (pallas_c2c.emit_fft, tdot_rows
+merge, 615-658 GB/s), plus a lane-domain Hermitian stage on half the
+data:
 
-* the SINGLE-transform direct kernels (rfft_direct_planar /
-  irfft_direct_planar) — measured 320-372 GB/s: a real transform
-  only halves the ladder leaves/recon/transpose, not the
-  twiddle/dots/pack, so per-byte compute is ~1.7x c2c's and cannot
-  hide under the half-sized HBM stream;
-* the PAIR-ROWS kernels (rfft_pair_planar / irfft_pair_planar) — two
-  real rows ride ONE c2c pass as (re, im), halving per-transform
-  compute back to c2c's ratio.  The forward is the product path at
-  n >= 4096.  The inverse pair kernel is retained (tested, honest
-  numbers: 300-365 GB/s — its input-side transposes and Hermitian
-  row assembly exceed the pencil kernel's cost) but NOT dispatched:
-  natural-order C2R stays on the pencil kernel (<= 4096, 430-646
-  GB/s) and the digit-swap matmul kernel (8192+, 405).
+* Forward (rfft_pair_planar): emit_fft(forward, ordered) on the pair
+  rows -> natural-order Z/2 (the split's 1/2 is baked into the packed
+  DFT matrix), then the split X_a = (Z + conj(Zm))/2, X_b =
+  (Z - conj(Zm))/2i for k <= L only, where the mirror Zm[k] =
+  Z[(n-k) % n] is ONE 128-lane flip per chunk plus a one-lane carry
+  (flip_lanes on half the data); slot 0 packs (DC, Nyquist).
+* Inverse (irfft_pair_planar): the exact mirror — assemble full-width
+  Z from the two packed spectra (lower lanes are adds; upper lanes
+  Z[L+m] = conj(X_a[L-m]) + i*conj(X_b[L-m]) are the same per-chunk
+  flip + carry on half the data), then emit_fft(inverse, ordered)
+  with the reference's (n/2)-scale contract folded into the
+  0.5-scaled matrix (SMFFT_Stockham_R2C_C2R/FFT.c:170-171).
 
-These kernels instead run the real transform DIRECTLY at full length n
-through the c2c two-factor machinery (n = n1 + 128*n2, c = n/128
-chunks — ops/pallas_c2c.py), exploiting real-input/Hermitian structure
-at every step:
+Earlier generations (git history) split in the packed ROW domain
+before the wide transpose (chunk restacks, 64-block assemblies,
+sublane-contracting dots) and measured 205-545 GB/s; the lane-domain
+form reaches ~0.84-0.95x of the c2c ordered path's rate at the SAME
+HBM traffic of 8 bytes/real-sample.
 
-Forward (R2C), per (tile, n) real block:
-  1. sublane ladder over the c NATURAL lane chunks — no deinterleave
-     at all; the imaginary planes start as None and the
-     None-propagating ladder (pallas_c2c._plane_dft_list) elides the
-     dead VPU work (the classic real-FFT ~2x saving);
-  2. standard twiddle w_n^{k2*n1} (k2 = 0 trivial and skipped);
-  3. TWO transposed symmetry-packed lane dots per chunk (exactly the
-     ordered c2c path's MXU cost, _dot_t against _sym_matrix);
-  4. mirror reconstruction of ONLY the TOP half k1 = 0..63 of
-     _rows_recon's row-domain algebra — the packed half-spectrum
-     X[k] = X[k1*c + k2], k < L = n/2 is exactly the k1 < 64 rows, so
-     no 63-block sublane reversal is needed at all; slot 0 packs
-     (DC, Nyquist) with Nyquist = the cos-column-64 row (static row
-     slices only);
-  5. ONE wide transpose (L, T) -> (T, L) — half the width of the c2c
-     ordered transpose.
+The SINGLE-transform direct kernels (rfft_direct_planar /
+irfft_direct_planar, 320-372 GB/s) are retained as the fallback that
+needs no row pairing: a real transform only halves the ladder
+leaves/recon/transpose, not the twiddle/dots/pack, so per-byte compute
+is ~1.7x c2c's and cannot hide under the half-sized HBM stream — the
+measured case AGAINST direct real kernels and FOR the pair form.
 
-Inverse (C2R), per (tile, L) natural-order packed-spectrum block:
-  1. one wide transpose to rows (L, T) and a free (64, c, T) chunk
-     view; slot-0 (DC, Nyquist) unpacked;
-  2. per chunk q, HALF-chunk lane transform A_q[j1] =
-     0.5 * sum_{k1<64} X[k1*c+q] w_128^{+j1*k1} as TWO real dots
-     against the 2x2-block real form [Or | -Oi; Oi | Or] of the
-     half-DFT matrix (the re/im rows stack into one 128-deep
-     contraction, so the MXU runs full-depth — same per-chunk cost as
-     the forward);
-  3. the Hermitian top half k1 >= 64 NEVER materializes: u[k2] =
-     A_{k2} + w^{-j1} * conj(A_{(c-k2) mod c}) — a chunk-list
-     permutation, a conjugation, and a column-broadcast complex
-     multiply (k2 = 0: u[0] = 2*Re(A_0) - dc/2 + (-1)^{j1}*nyq/2,
-     exactly real, so its imaginary plane enters the ladder as None);
-  4. inverse twiddle w_n^{+j1*k2} as column tables, then the inverse
-     sublane ladder over chunks -> output plane j2 holds samples
-     x[j1 + 128*j2] — the even/odd re-interleave of the half-size
-     formulation is absorbed into the index algebra (no gathers);
-  5. concat the REAL planes (imaginary parts are the Hermitian
-     residual and are never stored) and ONE wide transpose -> (T, n).
-     The 0.5 scale baked into the A-dot matrices makes the output
-     (n/2)-scaled — the reference's unnormalized C2R contract
-     (SMFFT_Stockham_R2C_C2R/FFT.c:170-171).
-
-Both kernels move 8 bytes/real-sample (4 in + 4 out) — half the c2c
-traffic — with c2c-class MXU/VPU work, so they run at the c2c ordered
-path's fraction of the HBM roofline.  Requires c = n/128 >= 8 (the
-row-domain slices are c-row granular); n = 256/512 stay on the pencil
+All kernels require c = n/128 >= 8; n = 256/512 stay on the pencil
 kernels (ops/pencil.py, already at roofline).
 """
 
@@ -98,7 +68,7 @@ from smfft_tpu.ops.pallas_c2c import (
 
 # Batch-tile rows per grid step (device-tuned on v5e; see
 # tools/tune_real_direct.py)
-_TILES = {1024: 128, 2048: 128, 4096: 128, 8192: 128, 16384: 64}
+_TILES = {1024: 128, 2048: 128, 4096: 128, 8192: 128, 16384: 128}
 
 
 def _tile_for(n: int) -> int:
@@ -255,22 +225,15 @@ def rfft_direct_planar(x: jnp.ndarray, precision: str = "highest",
 # (device-measured 320-372 GB/s).  The classic fix: a batch of real
 # FFTs pairs rows as one complex FFT — z = x_a + i*x_b with rows a/b
 # the two halves of the block (FREE sublane slices, no interleave) —
-# runs the full-efficiency ordered c2c machinery once for TWO
-# transforms, then splits X_a[k] = (Z[k] + conj(Z[n-k]))/2,
-# X_b[k] = (Z[k] - conj(Z[n-k]))/(2i) for k <= L only.  The mirror
-# Z[(n-k) % n] is, in the packed row domain, a chunk permutation
-# (k2 -> c-k2, middle-axis restack) plus c-granular row-block shifts —
-# no lane gathers, no sublane reversals.  Per-transform compute is half
-# the single-transform kernel's: the split replaces the v1 kernel's
-# whole second pipeline.
+# runs the UNMODIFIED ordered-c2c pipeline (pallas_c2c.emit_fft,
+# tdot_rows merge) once for TWO transforms, then splits
+# X_a[k] = (Z[k] + conj(Z[n-k]))/2, X_b[k] = (Z[k] - conj(Z[n-k]))/(2i)
+# for k <= L in the LANE domain: the mirror Z[(n-k) % n] is one
+# 128-lane flip per chunk plus a one-lane carry on HALF the data.
+# (Earlier generations split in the packed ROW domain before the wide
+# transpose — chunk restacks / 64-block assemblies there measured
+# 480-545 GB/s vs this form's 550-580; see git history.)
 # ---------------------------------------------------------------------------
-
-
-def _perm3(a3, c):
-    """Middle-axis chunk mirror: out[:, j, :] = a3[:, (c-j) % c, :]."""
-    k = a3.shape[0]
-    return jnp.stack([a3[:, (c - j) % c, :] for j in range(c)],
-                     axis=1).reshape(k * c, -1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -281,7 +244,6 @@ def _build_rfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
     n = plan.n
     c = n // LANES
     L = n // 2
-    h = 64 * c
     T = tile_t
     assert c >= 8
     consts = _rfft_consts(n, precision, half=True)
@@ -290,76 +252,46 @@ def _build_rfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
     def kernel(*refs):
         x_ref = refs[0]
         cs = tuple(r[:] for r in refs[1:1 + n_c])
-        t_re, t_im, m = cs[:3]
-        m_splits = cs[3:] or None
         or_ref, oi_ref = refs[1 + n_c], refs[2 + n_c]
 
         x = x_ref[:]                       # (2T, n) real rows
-        vr, vi = x[:T], x[T:]              # pair: z = row_a + i*row_b
-        # full ordered-c2c front half: ladder, twiddle, transposed dots
-        pre, pim = _chunks(vr, c), _chunks(vi, c)
-        pre, pim = _plane_dft_list(pre, pim, -1.0)
-        for k2 in range(1, c):
-            tr, ti = t_re[k2, :], t_im[k2, :]
-            pre[k2], pim[k2] = (pre[k2] * tr - pim[k2] * ti,
-                                pre[k2] * ti + pim[k2] * tr)
-        zq_r = [_pc._dot_t(m, pre[k], precision, m_splits)
-                for k in range(c)]
-        zq_i = [_pc._dot_t(m, pim[k], precision, m_splits)
-                for k in range(c)]
-        wr = _pack_rows(zq_r, c)           # (128c, T) packed products
-        wi = _pack_rows(zq_i, c)
-        wr3 = wr.reshape(128, c, T)
-        wi3 = wi.reshape(128, c, T)
-
-        # Z top rows (k1 = 0..63) — the aligned half of _rows_recon
-        zr_top = jnp.concatenate(
-            [wr3[0:1], wr3[1:64] - wi3[65:128]], axis=0)   # (64, c, T)
-        zi_top = jnp.concatenate(
-            [wi3[0:1], wr3[65:128] + wi3[1:64]], axis=0)
-
-        # mirror Zm[k] = Z[(n-k) % n], k1 = 0..63: chunk-permute the
-        # packed products once, then c-granular row-block shifts
-        pwr = _perm3(wr3[1:128], c).reshape(127, c, T)
-        pwi = _perm3(wi3[1:128], c).reshape(127, c, T)
-        zblk = jnp.zeros((1, c, T), jnp.float32)
-        # general branch (valid for k2 >= 1): Zm(k1,k2) = Z(127-k1,c-k2)
-        zm_r_gen = pwr[0:64] + jnp.concatenate([pwi[64:127], zblk], 0)
-        zm_i_gen = (jnp.concatenate([-pwr[64:127], zblk], 0)
-                    + pwi[0:64])
-        # k2 = 0 column: Zm(k1,0) = Z((128-k1) % 128, 0)
-        colfix_r = jnp.concatenate(
-            [wr3[0:1, 0:1], wr3[1:64, 0:1] + wi3[65:128, 0:1]], axis=0)
-        colfix_i = jnp.concatenate(
-            [wi3[0:1, 0:1], wi3[1:64, 0:1] - wr3[65:128, 0:1]], axis=0)
-        k2mask = jax.lax.broadcasted_iota(
-            jnp.int32, (1, c, 1), 1) == 0
-        zm_r = jnp.where(k2mask, colfix_r, zm_r_gen)
-        zm_i = jnp.where(k2mask, colfix_i, zm_i_gen)
-
-        # split into the two packed spectra (flat (h, T) rows); the
-        # 1/2 is baked into M, so these are pure adds
-        zr_top = zr_top.reshape(h, T)
-        zi_top = zi_top.reshape(h, T)
-        zm_r = zm_r.reshape(h, T)
-        zm_i = zm_i.reshape(h, T)
-        xa_r = zr_top + zm_r
-        xa_i = zi_top - zm_i
-        xb_r = zi_top + zm_i
-        xb_i = zm_r - zr_top
-        # slot-0 Nyquist patches (DC lands correct automatically; the
-        # raw packed rows carry the baked 1/2, so the patch pays a 2x)
+        z_r, z_i = x[:T], x[T:]            # pair: z = row_a + i*row_b
+        # UNMODIFIED ordered forward c2c on the pair (the 630-658 GB/s
+        # tdot_rows path); the split's 1/2 is baked into M, so the
+        # natural-order output is oz = Z/2
+        oz_r, oz_i = _pc.emit_fft(z_r, z_i, cs, n=n, inverse=False,
+                                  precision=precision, ordered=True)
+        # lane-domain mirror m[k] = oz[(n-k) % n], k = 0..L-1: per
+        # output chunk one 128-lane flip plus a one-lane carry (lane 0
+        # comes from chunk (c-a) % c — uniform, including chunk 0)
+        ozr_ch = _chunks(oz_r, c)
+        ozi_ch = _chunks(oz_i, c)
+        mr_ch, mi_ch = [], []
+        for a in range(c // 2):
+            l0r = ozr_ch[(c - a) % c][:, 0:1]
+            l0i = ozi_ch[(c - a) % c][:, 0:1]
+            fr = _pc.flip_lanes(ozr_ch[c - 1 - a])
+            fi = _pc.flip_lanes(ozi_ch[c - 1 - a])
+            mr_ch.append(jnp.concatenate([l0r, fr[:, :127]], axis=1))
+            mi_ch.append(jnp.concatenate([l0i, fi[:, :127]], axis=1))
+        mr = jnp.concatenate(mr_ch, axis=1)          # (T, L) = Zm/2
+        mi = jnp.concatenate(mi_ch, axis=1)
+        lo_r, lo_i = oz_r[:, :L], oz_i[:, :L]
+        # Hermitian split X_a = oz + conj(m), X_b = -i*(oz - conj(m))
+        xa_r = lo_r + mr
+        xa_i = lo_i - mi
+        xb_r = lo_i + mi
+        xb_i = mr - lo_r
+        # slot-0 packing: imag lane 0 <- Nyquist = Z[L] components (the
+        # 2x undoes the baked 1/2; DC lands correct automatically)
         two = jnp.float32(2.0)
-        xa_i = jnp.concatenate([wr[h:h + 1] * two, xa_i[1:]], axis=0)
-        xb_i = jnp.concatenate([wi[h:h + 1] * two, xb_i[1:]], axis=0)
-
-        # one wide transpose per planar output: lane-concat the two
-        # spectra side by side first, so columns 0..T-1 land as rows
-        # 0..T-1 (X_a) and T..2T-1 as X_b
-        or_ref[:] = jnp.transpose(
-            jnp.concatenate([xa_r, xb_r], axis=1))
-        oi_ref[:] = jnp.transpose(
-            jnp.concatenate([xa_i, xb_i], axis=1))
+        xa_i = jnp.concatenate(
+            [oz_r[:, L:L + 1] * two, xa_i[:, 1:]], axis=1)
+        xb_i = jnp.concatenate(
+            [oz_i[:, L:L + 1] * two, xb_i[:, 1:]], axis=1)
+        # rows 0..T-1 = X_a, rows T..2T-1 = X_b (one sublane concat)
+        or_ref[:] = jnp.concatenate([xa_r, xb_r], axis=0)
+        oi_ref[:] = jnp.concatenate([xa_i, xb_i], axis=0)
 
     in_spec = pl.BlockSpec((2 * T, n), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -571,54 +503,19 @@ def _build_irfft_direct(plan: P.FFTParams, tile_t: int, precision: str):
     return run
 
 
-def _dot_rowpack(m, x, precision, m_splits):
-    """Row-packed product dot: (128, 128) constant contracted on dim 0
-    with (128, T) data -> (128, T) packed products p[pk, t] =
-    sum_k1 M[k1, pk] x[k1, t] (same precision machinery as _dot_t)."""
-    dims = (((0,), (0,)), ((), ()))
-    if m_splits is not None and n_splits(precision):
-        if precision == "x5":
-            mh, mm, ml = m_splits
-            xh = x.astype(jnp.bfloat16)
-            xm = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-            return (_bdot(mh, xh, dims)
-                    + (_bdot(mm, xh, dims) + _bdot(mh, xm, dims))
-                    + (_bdot(mm, xm, dims) + _bdot(ml, xh, dims)))
-        xh, xl = _split_bf16(x)
-        if precision == "x4":
-            mh, mm, ml = m_splits
-            return (_bdot(mh, xh, dims) + _bdot(mh, xl, dims)
-                    + (_bdot(mm, xh, dims) + _bdot(ml, xh, dims)))
-        mh, ml = m_splits
-        return _bdot(mh, xh, dims) + (_bdot(mh, xl, dims)
-                                      + _bdot(ml, xh, dims))
-    enum = _pc._PREC.get(precision, jax.lax.Precision.HIGHEST)
-    return jax.lax.dot_general(m, x, dimension_numbers=dims,
-                               precision=enum,
-                               preferred_element_type=jnp.float32)
-
-
 def _irfft_pair_consts(n: int, precision: str):
-    """[M_inv (0.5-scaled packed sym matrix), (splits), tw_r, tw_i].
-
-    M_inv: _sym_matrix(inverse) * 0.5 — contracted on its TIME dim so
-    the packed products feed pallas_c2c._rows_recon directly.
-    tw: the inverse twiddle as flat row columns tw[j1*c + k2] =
-    exp(+2pi i j1 k2 / n), applied as one (n, 1)-broadcast cmul."""
-    c = n // LANES
-    m = np.ascontiguousarray(
-        0.5 * _sym_matrix(n, inverse=True), np.float32)
-    j1 = np.arange(LANES, dtype=np.float64)[:, None]
-    k2 = np.arange(c, dtype=np.float64)[None, :]
-    ang = 2.0 * np.pi * j1 * k2 / n
-    tw_r = np.cos(ang).reshape(n, 1).astype(np.float32)
-    tw_i = np.sin(ang).reshape(n, 1).astype(np.float32)
-    base = [m]
+    """[t_re, t_im, M*0.5 (+ splits)] — the ordered-inverse-c2c constant
+    layout (pallas_c2c.const_arrays) with the packed sym matrix scaled
+    by 0.5, which folds the reference's (n/2)-scale contract (inverse
+    sum = n*z; we ship L*z = n/2*z) into the MXU pass for free."""
+    _, _, t_re, t_im, _, _ = _tables(n, inverse=True)
+    m = 0.5 * _sym_matrix(n, inverse=True)
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)
+    base = [f32(t_re), f32(t_im), f32(m)]
     if precision in _pc._SPLIT3:
-        base.extend(_np_split_bf16_3(m))
+        base.extend(_np_split_bf16_3(base[2]))
     elif precision in _pc._SPLIT2:
-        base.extend(_np_split_bf16(m))
-    base.extend([tw_r, tw_i])
+        base.extend(_np_split_bf16(base[2]))
     return tuple(base)
 
 
@@ -628,17 +525,19 @@ def _build_irfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
     planar pair -> real (2*tile, n), each L-scaled.
 
     z = x_a + i*x_b, so Z[k] = X_a[k] + i*X_b[k] with the Hermitian
-    bottom half Z[n-k] = conj(W[k]), W = X_a - i*X_b.  Both Z-top and
-    W-top are cheap row combinations of the transposed inputs, and the
-    bottom half is conj(reversed W) — in the k1-major row layout that
-    reversal is 64 c-granular block slices plus a chunk permutation
-    (the blockrev precedent from pallas_c2c._rows_recon; no sublane
-    reversals).  The full (n, T) Z rows then run the inverse c2c from
-    the row side: per chunk TWO row-packed symmetric dots (the c2c MXU
-    budget for the two transforms — half of the 2x2-block A-dot
-    formulation this replaces), pallas_c2c._rows_recon, one flat-row
-    twiddle cmul, and the inverse plane ladder; output planes' real
-    parts are x_a samples, imaginary parts x_b."""
+    upper half Z[L+m] = conj(X_a[L-m]) + i*conj(X_b[L-m]).  The whole
+    assembly happens in the LANE domain on the natural (T, L) planar
+    inputs — two full-width adds build u = Re-mirror / v = Im-mirror
+    sources, and the upper lanes are per-chunk 128-lane flips of u/v
+    with a one-lane carry (lane 0 of each flipped chunk comes from the
+    next chunk; m = 0 is the Nyquist patch).  The assembled full-width
+    (T, n) planar Z then runs the UNMODIFIED ordered-inverse-c2c
+    pipeline (pallas_c2c.emit_fft, the 615-658 GB/s tdot_rows path) —
+    no row-domain processing, no input-side transposes, no sublane-
+    contracting dots (v3/v4's cost centers, device-measured 205-365
+    GB/s).  The reference (n/2)-scale contract is folded into the
+    0.5-scaled lane-DFT matrix.  Output rows 0..T-1 are the x_a
+    signals (Re z), rows T..2T-1 x_b (Im z) — one sublane concat."""
     n = plan.n
     c = n // LANES
     L = n // 2
@@ -646,78 +545,44 @@ def _build_irfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
     assert c >= 8
     consts = _irfft_pair_consts(n, precision)
     n_c = len(consts)
-    ns = n_splits(precision)
 
     def kernel(*refs):
         xr_ref, xi_ref = refs[0], refs[1]
         cs = tuple(r[:] for r in refs[2:2 + n_c])
-        m_inv = cs[0]
-        m_splits = cs[1:1 + ns] or None
-        tw_r, tw_i = cs[1 + ns:]
         o_ref = refs[2 + n_c]
 
         xr, xi = xr_ref[:], xi_ref[:]      # (2T, L) packed spectra pair
-        txr = jnp.transpose(xr)            # (L, 2T): cols 0..T-1 = X_a
-        txi = jnp.transpose(xi)
-        ra, rb = txr[:, :T], txr[:, T:]    # free lane slices
-        ia, ib = txi[:, :T], txi[:, T:]
-        dca, nyqa = ra[0:1], ia[0:1]       # slot 0 = (DC, Nyquist)
-        dcb, nyqb = rb[0:1], ib[0:1]
-        # Z-top = X_a + i X_b, W-top = X_a - i X_b (slot-0 unpacked)
-        z_r = jnp.concatenate([dca, ra[1:] - ib[1:]], axis=0)
-        z_i = jnp.concatenate([dcb, ia[1:] + rb[1:]], axis=0)
-        w_r = jnp.concatenate([dca, ra[1:] + ib[1:]], axis=0)
-        w_i = jnp.concatenate([-dcb, ia[1:] - rb[1:]], axis=0)
+        xa_r, xb_r = xr[:T], xr[T:]        # free sublane slices
+        xa_i, xb_i = xi[:T], xi[T:]
+        dca, dcb = xa_r[:, 0:1], xb_r[:, 0:1]   # slot 0 = (DC, Nyq)
+        nyqa, nyqb = xa_i[:, 0:1], xb_i[:, 0:1]
+        # lower lanes k = 0..L-1: Z = X_a + i X_b (lane-0 slot unpacked
+        # to the pure-DC value)
+        zlo_r = jnp.concatenate([dca, xa_r[:, 1:] - xb_i[:, 1:]], axis=1)
+        zlo_i = jnp.concatenate([dcb, xa_i[:, 1:] + xb_r[:, 1:]], axis=1)
+        # upper lanes k = L + m: Z = rev(u) + i rev(v) with
+        # u = Re X_a + Im X_b, v = Re X_b - Im X_a, rev(w)[m] = w[L-m];
+        # per output chunk that is one 128-lane flip plus a one-lane
+        # carry from the neighbouring chunk (m = 0 -> Nyquist patch)
+        u = xa_r + xb_i
+        v = xb_r - xa_i
+        uch = _chunks(u, c // 2)
+        vch = _chunks(v, c // 2)
+        zhi_r, zhi_i = [], []
+        for a in range(c // 2):
+            lane0_u = nyqa if a == 0 else uch[c // 2 - a][:, 0:1]
+            lane0_v = nyqb if a == 0 else vch[c // 2 - a][:, 0:1]
+            fu = _pc.flip_lanes(uch[c // 2 - 1 - a])
+            fv = _pc.flip_lanes(vch[c // 2 - 1 - a])
+            zhi_r.append(jnp.concatenate([lane0_u, fu[:, :127]], axis=1))
+            zhi_i.append(jnp.concatenate([lane0_v, fv[:, :127]], axis=1))
+        z_r = jnp.concatenate([zlo_r] + zhi_r, axis=1)   # (T, n)
+        z_i = jnp.concatenate([zlo_i] + zhi_i, axis=1)
 
-        # bottom rows r = 64c + j, j = 0..64c-1: Z[r] = conj(W[64c - j]).
-        # Chunk-permute once, append the virtual Nyquist row W[64c] (its
-        # k2=0 entry is nyq_w; other lanes only feed the k2=0-masked
-        # branch and are never selected), then BOTH branch row sets are
-        # c-granular block-reversed slices of the same extended array.
-        def bottom(w3, nyqw):
-            pw = _perm3(w3, c).reshape(64, c, T)
-            pwx = jnp.concatenate(
-                [pw, nyqw[None, :, :]], axis=0)          # (65, c, T)
-            gen = jnp.concatenate(                        # k2 >= 1
-                [pwx[63 - k1b:64 - k1b] for k1b in range(64)], axis=0)
-            col = jnp.concatenate(                        # k2 == 0
-                [pwx[64 - k1b:65 - k1b] for k1b in range(64)], axis=0)
-            return jnp.where(k2mask, col, gen)
-
-        k2mask = jax.lax.broadcasted_iota(jnp.int32, (1, c, 1), 1) == 0
-        z3r_top = z_r.reshape(64, c, T)
-        z3i_top = z_i.reshape(64, c, T)
-        nyqw_r = jnp.broadcast_to(nyqa, (c, T))
-        nyqw_i = jnp.broadcast_to(-nyqb, (c, T))
-        bot_r = bottom(w_r.reshape(64, c, T), nyqw_r)
-        bot_i = -bottom(w_i.reshape(64, c, T), nyqw_i)   # conj
-        rows_r = jnp.concatenate(
-            [z3r_top, bot_r], axis=0).reshape(n, T)
-        rows_i = jnp.concatenate(
-            [z3i_top, bot_i], axis=0).reshape(n, T)
-
-        # inverse lane DFT per chunk: TWO row-packed dots (c2c budget)
-        v3r = rows_r.reshape(LANES, c, T)
-        v3i = rows_i.reshape(LANES, c, T)
-        zq_r = [_dot_rowpack(m_inv, v3r[:, q, :], precision, m_splits)
-                for q in range(c)]
-        zq_i = [_dot_rowpack(m_inv, v3i[:, q, :], precision, m_splits)
-                for q in range(c)]
-        u_r, u_i = _pc._rows_recon(zq_r, zq_i)   # (128c, T) rows j1*c+k2
-        # inverse twiddle w_n^{+j1*k2} as one flat-row cmul
-        u_r, u_i = (u_r * tw_r - u_i * tw_i,
-                    u_r * tw_i + u_i * tw_r)
-        u3r = u_r.reshape(LANES, c, T)
-        u3i = u_i.reshape(LANES, c, T)
-        p_r, p_i = _plane_dft_list(
-            [u3r[:, k2, :] for k2 in range(c)],
-            [u3i[:, k2, :] for k2 in range(c)], +1.0)
-        # plane j2's real part = x_a samples, imaginary part = x_b;
-        # lane-concat re|im so ONE wide transpose lands rows 0..T-1 =
-        # x_a and T..2T-1 = x_b
-        o_ref[:] = jnp.transpose(jnp.concatenate(
-            [jnp.concatenate(p_r, axis=0),
-             jnp.concatenate(p_i, axis=0)], axis=1))
+        # unmodified ordered inverse c2c (0.5-scale baked into M)
+        o_re, o_im = _pc.emit_fft(z_r, z_i, cs, n=n, inverse=True,
+                                  precision=precision, ordered=True)
+        o_ref[:] = jnp.concatenate([o_re, o_im], axis=0)
 
     in_spec = pl.BlockSpec((2 * T, L), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
