@@ -333,9 +333,10 @@ def rfft_fused_planar(x: jnp.ndarray, precision: str = "highest",
         return pencil.rfft_pencil_planar(x, n)
     if ordered and n >= 4096 and tile_t is None:
         # n >= 4096: the pair-rows kernel (ops/real_direct.py) — two
-        # real rows ride one UNMODIFIED ordered-c2c pass, lane-domain
-        # Hermitian split; 547/525 GB/s at 4096/8192 vs 463/310 for
-        # the pencil/digit-swap paths (tools/tune_real_direct.py, v5e)
+        # real rows ride one ordered-c2c front, Hermitian split in the
+        # packed-product row domain; 597/586 GB/s at 4096/8192 vs
+        # 463/310 for the pencil/digit-swap paths
+        # (tools/tune_real_direct.py + /tmp probe, v5e)
         from smfft_tpu.ops import real_direct
         return real_direct.rfft_pair_planar(x, precision=precision)
     precision = _pc.resolve_scheme_real(precision, n)

@@ -20,12 +20,16 @@ the UNMODIFIED ordered-c2c pipeline (pallas_c2c.emit_fft, tdot_rows
 merge, 615-658 GB/s), plus a lane-domain Hermitian stage on half the
 data:
 
-* Forward (rfft_pair_planar): emit_fft(forward, ordered) on the pair
-  rows -> natural-order Z/2 (the split's 1/2 is baked into the packed
-  DFT matrix), then the split X_a = (Z + conj(Zm))/2, X_b =
-  (Z - conj(Zm))/2i for k <= L only, where the mirror Zm[k] =
-  Z[(n-k) % n] is ONE 128-lane flip per chunk plus a one-lane carry
-  (flip_lanes on half the data); slot 0 packs (DC, Nyquist).
+* Forward (rfft_pair_planar): the ordered-c2c front (chunk ladder,
+  twiddle, per-chunk transposed packed dots with the split's 1/2 baked
+  into the DFT matrix), then the Hermitian split in the PACKED-PRODUCT
+  ROW domain (_pair_rows_split): the spectrum mirror n-k maps to
+  (127-k1, c-k2), i.e. a free chunk-list permutation plus static
+  one-sublane-shifted block slices — no lane gathers/flips at all, and
+  chunk 0 collapses to two contiguous 2x-scaled slices.  The
+  natural-order Z is never materialized; slot 0 packs (DC, Nyquist).
+  Device-measured 590-607 GB/s at n = 1024-8192 (vs 547/525 at
+  4096/8192 for the earlier lane-domain split form).
 * Inverse (irfft_pair_planar): the exact mirror — assemble full-width
   Z from the two packed spectra (lower lanes are adds; upper lanes
   Z[L+m] = conj(X_a[L-m]) + i*conj(X_b[L-m]) are the same per-chunk
@@ -236,11 +240,63 @@ def rfft_direct_planar(x: jnp.ndarray, precision: str = "highest",
 # ---------------------------------------------------------------------------
 
 
+def _pair_rows_split(zq_r, zq_i, c):
+    """Row-domain Hermitian pair split of transposed packed products.
+
+    Input: per-chunk (128, T) products of the HALF-scaled sym-packed
+    lane DFT (rows p = 0..64 cosine, 65..127 sine 1..63), chunk k2.
+    Output: four chunk lists (64, T) — (xa_r, xa_i, xb_r, xb_i) rows
+    k1 = 0..63 of the packed spectra X_a / X_b at chunk k2, slot 0 =
+    (DC, Nyquist).
+
+    The spectrum mirror n-k maps (k1, k2) -> (127-k1, c-k2) for k2 >= 1
+    and (128-k1, 0) for k2 = 0, so in the packed-product ROW domain the
+    whole split is a free chunk-list permutation (q = c-k2) plus static
+    one-sublane-shifted block slices — ZERO lane gathers, no carry
+    concats, no blockrev (the lane-domain form's cost centers).  Chunk 0
+    collapses completely: its mirror pairs each product row with itself,
+    so X_a = 2*(A[0:64] + i*A[64:128]) and X_b likewise on B — two
+    contiguous slices, the (DC, Nyquist) slot-0 packing included."""
+    two = jnp.float32(2.0)
+    xa_r = [None] * c
+    xa_i = [None] * c
+    xb_r = [None] * c
+    xb_i = [None] * c
+    a0, b0 = zq_r[0], zq_i[0]
+    xa_r[0] = a0[0:64] * two
+    xa_i[0] = a0[64:128] * two
+    xb_r[0] = b0[0:64] * two
+    xb_i[0] = b0[64:128] * two
+    for k2 in range(1, c):
+        a, b = zq_r[k2], zq_i[k2]
+        ap, bp = zq_r[c - k2], zq_i[c - k2]
+        # Z[k1*c+k2]/2 rows 0..63 (the standard recon combos)
+        zlo_r = jnp.concatenate([a[0:1], a[1:64] - b[65:128]], axis=0)
+        zlo_i = jnp.concatenate([b[0:1], a[65:128] + b[1:64]], axis=0)
+        # Z[n-k]/2 = Z[(127-k1)*c + (c-k2)]/2: rows k1+1 of chunk c-k2
+        # (k1 = 63 hits the self-conjugate p = 64 row)
+        zm_r = jnp.concatenate([ap[1:64] + bp[65:128], ap[64:65]], axis=0)
+        zm_i = jnp.concatenate([bp[1:64] - ap[65:128], bp[64:65]], axis=0)
+        # X_a = Z/2 + conj(Zm)/2, X_b = -i*(Z/2 - conj(Zm)/2)
+        xa_r[k2] = zlo_r + zm_r
+        xa_i[k2] = zlo_i - zm_i
+        xb_r[k2] = zlo_i + zm_i
+        xb_i[k2] = zm_r - zlo_r
+    return xa_r, xa_i, xb_r, xb_i
+
+
 @functools.lru_cache(maxsize=None)
 def _build_rfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
     """Pair-rows R2C kernel: real (2*tile, n) block -> natural packed
     spectra (2*tile, L) planar pair; rows [0:tile] transform rows
-    [0:tile] of the input, rows [tile:2*tile] the second half."""
+    [0:tile] of the input, rows [tile:2*tile] the second half.
+
+    Front = the unmodified ordered-c2c pipeline up to the per-chunk
+    transposed packed dots (chunks -> radix ladder -> twiddle -> _dot_t,
+    exactly pallas_c2c._emit_ordered_tdot_rows); the Hermitian split
+    then runs in the packed-product ROW domain (_pair_rows_split) before
+    the wide transposes — the natural-order Z is never materialized and
+    no lane gathers/flips exist anywhere in the kernel."""
     n = plan.n
     c = n // LANES
     L = n // 2
@@ -252,46 +308,30 @@ def _build_rfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
     def kernel(*refs):
         x_ref = refs[0]
         cs = tuple(r[:] for r in refs[1:1 + n_c])
+        t_re, t_im, m = cs[:3]
+        m_splits = tuple(cs[3:]) or None
         or_ref, oi_ref = refs[1 + n_c], refs[2 + n_c]
 
         x = x_ref[:]                       # (2T, n) real rows
         z_r, z_i = x[:T], x[T:]            # pair: z = row_a + i*row_b
-        # UNMODIFIED ordered forward c2c on the pair (the 630-658 GB/s
-        # tdot_rows path); the split's 1/2 is baked into M, so the
-        # natural-order output is oz = Z/2
-        oz_r, oz_i = _pc.emit_fft(z_r, z_i, cs, n=n, inverse=False,
-                                  precision=precision, ordered=True)
-        # lane-domain mirror m[k] = oz[(n-k) % n], k = 0..L-1: per
-        # output chunk one 128-lane flip plus a one-lane carry (lane 0
-        # comes from chunk (c-a) % c — uniform, including chunk 0)
-        ozr_ch = _chunks(oz_r, c)
-        ozi_ch = _chunks(oz_i, c)
-        mr_ch, mi_ch = [], []
-        for a in range(c // 2):
-            l0r = ozr_ch[(c - a) % c][:, 0:1]
-            l0i = ozi_ch[(c - a) % c][:, 0:1]
-            fr = _pc.flip_lanes(ozr_ch[c - 1 - a])
-            fi = _pc.flip_lanes(ozi_ch[c - 1 - a])
-            mr_ch.append(jnp.concatenate([l0r, fr[:, :127]], axis=1))
-            mi_ch.append(jnp.concatenate([l0i, fi[:, :127]], axis=1))
-        mr = jnp.concatenate(mr_ch, axis=1)          # (T, L) = Zm/2
-        mi = jnp.concatenate(mi_ch, axis=1)
-        lo_r, lo_i = oz_r[:, :L], oz_i[:, :L]
-        # Hermitian split X_a = oz + conj(m), X_b = -i*(oz - conj(m))
-        xa_r = lo_r + mr
-        xa_i = lo_i - mi
-        xb_r = lo_i + mi
-        xb_i = mr - lo_r
-        # slot-0 packing: imag lane 0 <- Nyquist = Z[L] components (the
-        # 2x undoes the baked 1/2; DC lands correct automatically)
-        two = jnp.float32(2.0)
-        xa_i = jnp.concatenate(
-            [oz_r[:, L:L + 1] * two, xa_i[:, 1:]], axis=1)
-        xb_i = jnp.concatenate(
-            [oz_i[:, L:L + 1] * two, xb_i[:, 1:]], axis=1)
+        pre, pim = _chunks(z_r, c), _chunks(z_i, c)
+        pre, pim = _plane_dft_list(pre, pim, -1.0)
+        for k2 in range(1, c):             # k2 = 0 row is all-ones
+            tr, ti = t_re[k2, :], t_im[k2, :]
+            pre[k2], pim[k2] = (pre[k2] * tr - pim[k2] * ti,
+                                pre[k2] * ti + pim[k2] * tr)
+        zq_r = [_pc._dot_t(m, pre[k], precision, m_splits)
+                for k in range(c)]
+        zq_i = [_pc._dot_t(m, pim[k], precision, m_splits)
+                for k in range(c)]
+        xa_r, xa_i, xb_r, xb_i = _pair_rows_split(zq_r, zq_i, c)
+
+        def pack(zs):                      # rows k1*c + k2 -> (T, L)
+            t = zs[0].shape[1]
+            return jnp.transpose(jnp.stack(zs, axis=1).reshape(64 * c, t))
         # rows 0..T-1 = X_a, rows T..2T-1 = X_b (one sublane concat)
-        or_ref[:] = jnp.concatenate([xa_r, xb_r], axis=0)
-        oi_ref[:] = jnp.concatenate([xa_i, xb_i], axis=0)
+        or_ref[:] = jnp.concatenate([pack(xa_r), pack(xb_r)], axis=0)
+        oi_ref[:] = jnp.concatenate([pack(xa_i), pack(xb_i)], axis=0)
 
     in_spec = pl.BlockSpec((2 * T, n), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)

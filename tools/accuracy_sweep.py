@@ -91,12 +91,25 @@ def main():
             back = np.asarray(PR.irfft_fused_planar(
                 o_r, o_i, n, precision=prec)) / L
             ent["c2r_roundtrip"] = float(np.max(np.abs(back - xr)))
+            # natural-order paths (pencil kernels at small n, pair-rows
+            # kernels at large n — the DEFAULT public dispatch)
+            n_r, n_i = PR.rfft_fused_planar(jnp.array(xr), precision=prec,
+                                            ordered=True)
+            nat2 = np.asarray(n_r) + 1j * np.asarray(n_i)
+            full2 = np.concatenate(
+                [np.real(nat2[:, :1]), nat2[:, 1:],
+                 np.imag(nat2[:, :1])], axis=1)
+            full2[:, 0] = np.real(nat2[:, 0])
+            ent["r2c_nat"] = float(np.max(np.abs(full2 - spec_ref)))
+            back2 = np.asarray(PR.irfft_fused_planar(
+                n_r, n_i, n, precision=prec, in_natural=True)) / L
+            ent["c2r_nat_roundtrip"] = float(np.max(np.abs(back2 - xr)))
             ent.setdefault("bound", tol(n, prec))
 
     # markdown
     print("| prec | N | c2c fwd (ord) | c2c fwd (unord) | c2c inv | "
-          "r2c | c2r rt | bound | ref gate 1e-4 |")
-    print("|---|---:|---:|---:|---:|---:|---:|---:|:--|")
+          "r2c | c2r rt | r2c nat | c2r nat rt | bound | ref gate 1e-4 |")
+    print("|---|---:|---:|---:|---:|---:|---:|---:|---:|---:|:--|")
     for prec in ("highest", "high", "fast"):
         for n in sorted(set(SIZES) | set(REAL_SIZES)):
             e = acc.get(f"{prec}_n{n}")
@@ -110,6 +123,7 @@ def main():
             print(f"| {prec} | {n} | {fmt('c2c_fwd_ordered')} | "
                   f"{fmt('c2c_fwd_unordered')} | {fmt('c2c_inv_ordered')} "
                   f"| {fmt('r2c')} | {fmt('c2r_roundtrip')} | "
+                  f"{fmt('r2c_nat')} | {fmt('c2r_nat_roundtrip')} | "
                   f"{e['bound']:.2e} | {gate} |")
 
     path = "BENCH_DETAILS.json"
