@@ -586,9 +586,9 @@ def irfft_fused_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
         from smfft_tpu.ops import pencil
         return pencil.irfft_pencil_planar(vr, vi, n)
     if in_natural and n >= 2048 and tile_t is None:
-        # n >= 2048: the pair-rows kernel (ops/real_direct.py) — two
-        # spectra ride one UNMODIFIED ordered-inverse-c2c pass via a
-        # lane-domain Hermitian assembly; 580/578/554 GB/s at
+        # n >= 2048: the pair-rows kernels (ops/real_direct.py) — two
+        # spectra per inverse-c2c pass, lane- or row-domain Hermitian
+        # assembly per the _IRFFT_FORM table; 587/578/554 GB/s at
         # 2048/4096/8192 vs 566/429/389 for the pencil/digit-swap
         # paths (tools/tune_real_direct.py, v5e)
         from smfft_tpu.ops import real_direct

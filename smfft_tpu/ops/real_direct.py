@@ -30,12 +30,20 @@ data:
   natural-order Z is never materialized; slot 0 packs (DC, Nyquist).
   Device-measured 590-607 GB/s at n = 1024-8192 (vs 547/525 at
   4096/8192 for the earlier lane-domain split form).
-* Inverse (irfft_pair_planar): the exact mirror — assemble full-width
-  Z from the two packed spectra (lower lanes are adds; upper lanes
-  Z[L+m] = conj(X_a[L-m]) + i*conj(X_b[L-m]) are the same per-chunk
-  flip + carry on half the data), then emit_fft(inverse, ordered)
-  with the reference's (n/2)-scale contract folded into the
-  0.5-scaled matrix (SMFFT_Stockham_R2C_C2R/FFT.c:170-171).
+* Inverse (irfft_pair_planar), two forms picked per size by the
+  device-measured _IRFFT_FORM table:
+  - "lanes" (_build_irfft_pair): assemble full-width Z in the lane
+    domain (lower lanes are adds; upper lanes are per-chunk 128-lane
+    flips + one-lane carries on half the data), then
+    emit_fft(inverse, ordered) with the reference's (n/2)-scale
+    contract folded into the 0.5-scaled matrix
+    (SMFFT_Stockham_R2C_C2R/FFT.c:170-171).
+  - "rows" (_build_irfft_pair2): the exact dual of the forward split —
+    one wide INPUT transpose, recover the packed products per chunk
+    with the inverted split combos (static sublane-shifted slices, no
+    lane ops), inverse lane DFT as MXU dots emitting (T, 128) planes
+    (transpose rides the matmul), inverse twiddle, sign=+1 ladder;
+    natural output with no output-side transpose.
 
 Earlier generations (git history) split in the packed ROW domain
 before the wide transpose (chunk restacks, 64-block assemblies,
@@ -73,6 +81,18 @@ from smfft_tpu.ops.pallas_c2c import (
 # Batch-tile rows per grid step (device-tuned on v5e; see
 # tools/tune_real_direct.py)
 _TILES = {1024: 128, 2048: 128, 4096: 128, 8192: 128, 16384: 128}
+
+# C2R pair kernel form: "rows" = row-domain product recovery
+# (_build_irfft_pair2), "lanes" = lane-domain Hermitian assembly
+# (_build_irfft_pair); "auto" picks the device-measured winner per size
+# (v5e: rows 587/453 vs lanes 581/436 at 2048/16384; lanes 578/554 vs
+# rows 571/551 at 4096/8192 — the rows form's strided sublane unpack
+# costs what it saves in flips at mid sizes).  Tools force a form for
+# A/B timing.
+_IRFFT_PAIR = "auto"
+_IRFFT_FORM = {1024: ("rows", 128), 2048: ("rows", 256),
+               4096: ("lanes", 128), 8192: ("lanes", 128),
+               16384: ("rows", 128)}
 
 
 def _tile_for(n: int) -> int:
@@ -606,16 +626,18 @@ def _build_irfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
         # carry from the neighbouring chunk (m = 0 -> Nyquist patch)
         u = xa_r + xb_i
         v = xb_r - xa_i
-        uch = _chunks(u, c // 2)
-        vch = _chunks(v, c // 2)
+        # one (2T, L) array halves the flip-gather op count vs separate
+        # u/v chains (same element volume, bigger tiles per gather)
+        uv = jnp.concatenate([u, v], axis=0)
+        uvch = _chunks(uv, c // 2)
+        nyquv = jnp.concatenate([nyqa, nyqb], axis=0)
         zhi_r, zhi_i = [], []
         for a in range(c // 2):
-            lane0_u = nyqa if a == 0 else uch[c // 2 - a][:, 0:1]
-            lane0_v = nyqb if a == 0 else vch[c // 2 - a][:, 0:1]
-            fu = _pc.flip_lanes(uch[c // 2 - 1 - a])
-            fv = _pc.flip_lanes(vch[c // 2 - 1 - a])
-            zhi_r.append(jnp.concatenate([lane0_u, fu[:, :127]], axis=1))
-            zhi_i.append(jnp.concatenate([lane0_v, fv[:, :127]], axis=1))
+            lane0 = nyquv if a == 0 else uvch[c // 2 - a][:, 0:1]
+            f = _pc.flip_lanes(uvch[c // 2 - 1 - a])
+            zhi = jnp.concatenate([lane0, f[:, :127]], axis=1)
+            zhi_r.append(zhi[:T])
+            zhi_i.append(zhi[T:])
         z_r = jnp.concatenate([zlo_r] + zhi_r, axis=1)   # (T, n)
         z_i = jnp.concatenate([zlo_i] + zhi_i, axis=1)
 
@@ -623,6 +645,169 @@ def _build_irfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
         o_re, o_im = _pc.emit_fft(z_r, z_i, cs, n=n, inverse=True,
                                   precision=precision, ordered=True)
         o_ref[:] = jnp.concatenate([o_re, o_im], axis=0)
+
+    in_spec = pl.BlockSpec((2 * T, L), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((2 * T, n), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_c
+
+    vmem_mb = 116 if n >= 8192 else 100
+
+    @jax.jit
+    def run(vr, vi):
+        b = vr.shape[0]
+        compiler_params = None
+        if not _pc._INTERPRET:
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_mb * 1024 * 1024,
+                dimension_semantics=("parallel",))
+        return pl.pallas_call(
+            kernel,
+            grid=(b // (2 * T),),
+            in_specs=[in_spec, in_spec] + const_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+            compiler_params=compiler_params,
+            interpret=_pc._INTERPRET,
+        )(vr, vi, *consts)
+
+    return run
+
+
+def _dot_it(k, x, precision, k_splits=None):
+    """Inverse transposed-product dot: (128p, T) products -> (T, 128j)
+    planes via dot_general contracting both axis 0 — the output-side
+    transpose rides the MXU for free (mirror of pallas_c2c._dot_t)."""
+    dims = (((0,), (0,)), ((), ()))
+    if k_splits is not None and n_splits(precision):
+        if precision == "x5":
+            kh, km, kl = k_splits
+            xh = x.astype(jnp.bfloat16)
+            xm = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (_bdot(xh, kh, dims)
+                    + (_bdot(xh, km, dims) + _bdot(xm, kh, dims))
+                    + (_bdot(xm, km, dims) + _bdot(xh, kl, dims)))
+        xh, xl = _split_bf16(x)
+        if precision == "x4":
+            kh, km, kl = k_splits
+            return (_bdot(xh, kh, dims) + _bdot(xl, kh, dims)
+                    + (_bdot(xh, km, dims) + _bdot(xh, kl, dims)))
+        kh, kl = k_splits
+        return _bdot(xh, kh, dims) + (_bdot(xl, kh, dims)
+                                      + _bdot(xh, kl, dims))
+    enum = _pc._PREC.get(precision, jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(x, k, dimension_numbers=dims,
+                               precision=enum,
+                               preferred_element_type=jnp.float32)
+
+
+def _irfft_pair2_consts(n: int, precision: str):
+    """[tc_re, tc_im, K (+ K splits)] for the row-domain inverse pair
+    kernel: tc = inverse twiddle rows (c, 128); K (128p, 128j) =
+    (L/c/4) * inv(0.5 * forward sym-packed lane matrix) — the exact
+    inverse of the forward product map with the reference's n/2 output
+    scale, the 1/c ladder normalization, and the solve's 1/4 folded in.
+    Inverting the fp32-rounded forward matrix in float64 also corrects
+    its rounding."""
+    _, _, tc_re, tc_im, _, _ = _tables(n, inverse=True)
+    c = n // LANES
+    L = n // 2
+    m_half = 0.5 * _sym_matrix(n, inverse=False).astype(np.float64)
+    k = (L / c / 4.0) * np.linalg.inv(m_half)
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)
+    base = [f32(tc_re), f32(tc_im), f32(k)]
+    if precision in _pc._SPLIT3:
+        base.extend(_np_split_bf16_3(base[2]))
+    elif precision in _pc._SPLIT2:
+        base.extend(_np_split_bf16(base[2]))
+    return tuple(base)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_irfft_pair2(plan: P.FFTParams, tile_t: int, precision: str):
+    """Row-domain pair-rows C2R kernel: two natural packed spectra
+    (2*tile, L) planar pair -> real (2*tile, n), each L-scaled.
+
+    The exact dual of the forward row-domain split: ONE wide input
+    transpose lands the spectra in the row domain, where the inverse of
+    the Hermitian split (_pair_rows_split) is the same free chunk-pair
+    permutation plus static one-sublane-shifted block slices — the
+    packed products A/B of each chunk are recovered with ZERO lane
+    gathers/flips (the lane-domain assembly's cost center).  The
+    inverse lane DFT then runs as per-chunk MXU dots that emit (T, 128)
+    planes directly (_dot_it — the transpose rides the matmul), followed
+    by the inverse twiddle and the sign=+1 plane ladder; the output is
+    already natural, so there is no output-side transpose.  Scale
+    contract (n/2), ladder 1/c, and the solve's 1/4 all live in K."""
+    n = plan.n
+    c = n // LANES
+    L = n // 2
+    T = tile_t
+    assert c >= 8
+    consts = _irfft_pair2_consts(n, precision)
+    n_c = len(consts)
+
+    def kernel(*refs):
+        xr_ref, xi_ref = refs[0], refs[1]
+        cs = tuple(r[:] for r in refs[2:2 + n_c])
+        tc_re, tc_im, k_mat = cs[:3]
+        k_splits = tuple(cs[3:]) or None
+        o_ref = refs[2 + n_c]
+
+        xr, xi = xr_ref[:], xi_ref[:]      # (2T, L) packed spectra pair
+        g_r = jnp.transpose(xr)            # (L, 2T): row k, col = batch
+        g_i = jnp.transpose(xi)            # (a rows 0..T-1, b rows T..)
+        u_r = g_r.reshape(64, c, 2 * T)    # leading-dim reshape only
+        u_i = g_i.reshape(64, c, 2 * T)
+        two = jnp.float32(2.0)
+
+        # per-chunk unscaled split inverses (zlo' = 2*zlo, zm' = 2*zm)
+        zlo_r = [None] * c
+        zlo_i = [None] * c
+        zm_r = [None] * c
+        zm_i = [None] * c
+        for k2 in range(1, c):
+            ur, ui = u_r[:, k2, :], u_i[:, k2, :]
+            xa_r, xb_r = ur[:, :T], ur[:, T:]
+            xa_i, xb_i = ui[:, :T], ui[:, T:]
+            zlo_r[k2] = xa_r - xb_i
+            zlo_i[k2] = xa_i + xb_r
+            zm_r[k2] = xa_r + xb_i
+            zm_i[k2] = xb_r - xa_i
+
+        planes_r = [None] * c
+        planes_i = [None] * c
+        for k2 in range(c):
+            if k2 == 0:                    # chunk 0: contiguous slices
+                ur, ui = u_r[:, 0, :], u_i[:, 0, :]
+                at = two * jnp.concatenate([ur[:, :T], ui[:, :T]], axis=0)
+                bt = two * jnp.concatenate([ur[:, T:], ui[:, T:]], axis=0)
+            else:
+                q = c - k2
+                at = jnp.concatenate(
+                    [two * zlo_r[k2][0:1],
+                     zlo_r[k2][1:] + zm_r[q][:63],
+                     two * zm_r[q][63:64],
+                     zlo_i[k2][1:] - zm_i[q][:63]], axis=0)
+                bt = jnp.concatenate(
+                    [two * zlo_i[k2][0:1],
+                     zlo_i[k2][1:] + zm_i[q][:63],
+                     two * zm_i[q][63:64],
+                     zm_r[q][:63] - zlo_r[k2][1:]], axis=0)
+            planes_r[k2] = _dot_it(k_mat, at, precision, k_splits)
+            planes_i[k2] = _dot_it(k_mat, bt, precision, k_splits)
+
+        for k2 in range(1, c):             # inverse twiddle (k2=0 ones)
+            tr, ti = tc_re[k2, :], tc_im[k2, :]
+            planes_r[k2], planes_i[k2] = (
+                planes_r[k2] * tr - planes_i[k2] * ti,
+                planes_r[k2] * ti + planes_i[k2] * tr)
+        z_r, z_i = _plane_dft_list(planes_r, planes_i, +1.0)
+        # natural output: rows 0..T-1 = a signals, T..2T-1 = b signals
+        o_ref[:] = jnp.concatenate(
+            [jnp.concatenate(z_r, axis=1),
+             jnp.concatenate(z_i, axis=1)], axis=0)
 
     in_spec = pl.BlockSpec((2 * T, L), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -667,17 +852,27 @@ def irfft_pair_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
         raise ValueError(f"expected row width {n // 2}, got {vr.shape[-1]}")
     precision = _pc.resolve_scheme_real(precision, n)
     rows = vr.shape[0]
-    tile = tile_t or _tile_for(n)
+    form, best_tile = _IRFFT_FORM.get(n, ("rows", 128))
+    if _IRFFT_PAIR != "auto":
+        form = _IRFFT_PAIR
+    tile = tile_t or best_tile
     pad = (-rows) % (2 * tile)
     while pad >= rows and tile > 8:
         tile //= 2
         pad = (-rows) % (2 * tile)
+    if tile < 128 and _IRFFT_PAIR == "auto" and not _pc._INTERPRET:
+        # Mosaic rejects the rows form's 1+63-row assembly concats when
+        # the batch tile is narrower than one lane tile ("offset
+        # mismatch on non-concat dimension") — small batches take the
+        # lane-domain form, which compiles at any tile
+        form = "lanes"
     if pad:
         zeros = jnp.zeros((pad, n // 2), vr.dtype)
         vr = jnp.concatenate([vr, zeros], axis=0)
         vi = jnp.concatenate([vi, zeros], axis=0)
     plan = P.plan_for(n, "inverse", "c2r", True)
-    out = _build_irfft_pair(plan, tile, precision)(
+    build = _build_irfft_pair2 if form == "rows" else _build_irfft_pair
+    out = build(plan, tile, precision)(
         vr.astype(jnp.float32), vi.astype(jnp.float32))
     return out[:rows] if pad else out
 

@@ -89,6 +89,27 @@ def test_irfft_pair_matches_numpy(rng):
     assert max_abs_err(out / L, x) < 1e-4
 
 
+def test_irfft_pair_lanes_form(rng):
+    """The lane-domain assembly form (shipping at n = 4096/8192) — the
+    _IRFFT_FORM table picks 'rows' at the small test sizes, so force
+    'lanes' to keep the other kernel covered."""
+    n, L = 1024, 512
+    x = (rng.random((32, n)) - 0.5).astype(np.float64)
+    spec = np.fft.rfft(x)
+    pk = np.concatenate(
+        [spec[:, :1].real + 1j * spec[:, L:L + 1].real, spec[:, 1:L]],
+        axis=1).astype(np.complex64)
+    old = RD._IRFFT_PAIR
+    RD._IRFFT_PAIR = "lanes"
+    try:
+        out = np.asarray(RD.irfft_pair_planar(
+            jnp.array(pk.real.copy()), jnp.array(pk.imag.copy()), n,
+            tile_t=16))
+    finally:
+        RD._IRFFT_PAIR = old
+    assert max_abs_err(out / L, x) < 1e-4
+
+
 def test_pair_roundtrip_odd_batch(rng):
     n, L = 2048, 1024
     x = (rng.random((19, n)) - 0.5).astype(np.float32)
