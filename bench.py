@@ -277,7 +277,8 @@ def main():
         with open("BENCH_DETAILS.json") as f:
             old = json.load(f)
         for k in ("accuracy", "accuracy_bound_model",
-                  "multiple_ablation", "multiple_ablation_note"):
+                  "multiple_ablation", "multiple_ablation_note",
+                  "ordered_merge_ablation", "ordered_merge_ablation_note"):
             if k in old and k not in details:
                 details[k] = old[k]
     except (OSError, ValueError):

@@ -987,8 +987,16 @@ def _build(plan: P.FFTParams, rev_in: bool, precision: str,
         xi = xi_ref[:]
         if fused_scale:
             s = refs[2 + nc][0]
-            xr = xr * s
-            xi = xi * s
+            if c > 1 and not multiple_iters:
+                # fold the runtime scalar into the (c, 128) twiddle
+                # tables (applied exactly once to every chunk in both
+                # kernel A and B; fp32, no bf16 splits involved) — a
+                # full-width input multiply costs ~8% on the ordered
+                # path (device-measured, n=1024: 589 vs 636 GB/s)
+                consts = (consts[0] * s, consts[1] * s) + consts[2:]
+            else:
+                xr = xr * s
+                xi = xi * s
         if multiple_iters:
             scale = float(1.0 / math.sqrt(float(n)))
             sign = +1.0 if inverse else -1.0

@@ -93,6 +93,23 @@ def test_fused_scale(rng):
     assert max_abs_err(np.asarray(o_r), np.asarray(o_r2)) < 1e-6
 
 
+def test_fused_scale_ordered_and_rev(rng):
+    """The scalar folds into the twiddle tables for c > 1 (not a
+    full-width input multiply) — must stay exact on the ordered path
+    and on kernel B (rev_in), which twiddles at a different pipeline
+    position."""
+    x = rand_c(rng, 32, 1024)
+    vr = jnp.array(np.ascontiguousarray(x.real))
+    vi = jnp.array(np.ascontiguousarray(x.imag))
+    s = jnp.float32(0.25)
+    o_r, _ = PC.fft_planar(vr, vi, 1024, scale=s, ordered=True)
+    o_r2, _ = PC.fft_planar(vr * 0.25, vi * 0.25, 1024, ordered=True)
+    assert max_abs_err(np.asarray(o_r), np.asarray(o_r2)) < 1e-6
+    r_r, _ = PC.fft_planar(vr, vi, 1024, scale=s, rev_in=True)
+    r_r2, _ = PC.fft_planar(vr * 0.25, vi * 0.25, 1024, rev_in=True)
+    assert max_abs_err(np.asarray(r_r), np.asarray(r_r2)) < 1e-6
+
+
 def test_multiple_iters_runs(rng):
     """The in-VMEM NREUSES loop runs and produces finite output (the
     reference likewise does not verify the multiple kernel's data,
