@@ -102,9 +102,9 @@ def main():
         log(f"copy roofline FAILED: {str(e)[:120]}")
 
     ext_gbs = []
-    for n in SIZES + (8192,):
-        # 8192 is measured as an extended-capability row but excluded
-        # from the geomean (the reference sweep, and therefore
+    for n in SIZES + (8192, 16384):
+        # 8192/16384 are measured as extended-capability rows but
+        # excluded from the geomean (the reference sweep, and therefore
         # vs_baseline, covers 32..4096)
         ncols = max(n, 128)
         rows_n = 1 << (((PLANE_MB * 2 ** 20) // (ncols * 4)).bit_length()

@@ -921,11 +921,11 @@ def emit_fft_rev(xr, xi, consts, *, n: int, inverse: bool = False,
 # the kernel's VMEM frame blows the scoped budget; the ordered path's
 # relayout prefers different shapes than the pure-stream unordered path.
 _TUNED_TILES = {32: 2048, 64: 2048, 128: 2048, 256: 1024, 512: 1024,
-                1024: 512, 2048: 256, 4096: 256, 8192: 128}
+                1024: 512, 2048: 256, 4096: 256, 8192: 128, 16384: 64}
 # (256/512 route to the pencil kernel; entries kept for the explicit
 # tile_t override path)
 _TUNED_TILES_ORDERED = {256: 1024, 512: 1024, 1024: 512, 2048: 128,
-                        4096: 128, 8192: 128}
+                        4096: 128, 8192: 128, 16384: 128}
 
 # Ordered sizes served by the pencil-layout kernel (ops/pencil.py): the
 # in-VMEM relayout + pure-VPU ladder hides fully under the HBM stream
@@ -1078,8 +1078,9 @@ def _build(plan: P.FFTParams, rev_in: bool, precision: str,
             # raise the scoped-VMEM budget (v5e has 128 MB physical); the
             # default budget caps tiles small enough that per-grid-step
             # overhead dominates the HBM pipeline
+            vmem_mb = 116 if n >= 16384 else 100
             compiler_params = pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=vmem_mb * 1024 * 1024,
                 dimension_semantics=("parallel",))
         return pl.pallas_call(
             kernel,

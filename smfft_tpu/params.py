@@ -37,12 +37,14 @@ import numpy as np
 # SMFFT_Stockham_R2C_C2R/FFT-GPU-32bit-Stockham.cu:406-427).
 # We support the union, extend real sizes down to 64 and up to 16384
 # (half-size 32..8192) since the half-size C2C core covers them, and
-# extend C2C to 8192 (the two-factor 64x128 decomposition has no 4096
-# ceiling — the reference's cap was 48 KB shared memory, ours is VMEM).
+# extend C2C to 16384 (the two-factor C x 128 decomposition has no 4096
+# ceiling — the reference's cap was 48 KB shared memory, ours is VMEM;
+# the pair-rows real kernels already run the full c2c pipeline at
+# n = 16384, so the standalone c2c ships at the same sizes).
 # --------------------------------------------------------------------------
 
 SUPPORTED_C2C_SIZES: tuple[int, ...] = (32, 64, 128, 256, 512, 1024, 2048,
-                                        4096, 8192)
+                                        4096, 8192, 16384)
 SUPPORTED_REAL_SIZES: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048,
                                          4096, 8192, 16384)
 
@@ -70,6 +72,7 @@ _DEFAULT_FACTORS: dict[int, tuple[int, ...]] = {
     2048: (64, 32),
     4096: (16, 16, 16),
     8192: (32, 16, 16),
+    16384: (32, 32, 16),
 }
 
 _FACTORS = dict(_DEFAULT_FACTORS)

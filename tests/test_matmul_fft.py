@@ -80,7 +80,7 @@ def test_wrong_size_raises():
     with pytest.raises(ValueError, match="wrong FFT length"):
         S.fft(jnp.zeros((4, 100), jnp.complex64))
     with pytest.raises(ValueError, match="wrong FFT length"):
-        S.fft(jnp.zeros((4, 16384), jnp.complex64))
+        S.fft(jnp.zeros((4, 32768), jnp.complex64))
 
 
 def test_inverse_roundtrip(rng):

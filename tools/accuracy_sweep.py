@@ -19,7 +19,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-SIZES = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+SIZES = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
 REAL_SIZES = (256, 512, 1024, 2048, 4096, 8192, 16384)
 BASE = {"highest": 2e-7, "fast": 4e-6}
 

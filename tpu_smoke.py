@@ -46,7 +46,7 @@ def main():
               f"(bound {bound:.3e})")
 
     for prec in ("highest", "fast"):
-        for n in (32, 64, 128, 256, 1024, 4096, 8192):
+        for n in (32, 64, 128, 256, 1024, 4096, 8192, 16384):
             x = (rng.random((64, n)) + 1j * rng.random((64, n))
                  - 0.5 - 0.5j).astype(np.complex64)
             vr = jnp.array(np.ascontiguousarray(x.real))
