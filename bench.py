@@ -172,6 +172,20 @@ def main():
                                                 in_natural=True)
                     float(force(out))
                 measure("c2r     ", "c2r_gbs", f_c2r, rows_n * n * 8)
+            if n == 1024:
+                # fused FFT->filter->iFFT convolution (ops/convolve.py):
+                # one representative size; traffic = signal in + out only
+                # (the spectrum never leaves VMEM), so GB/s near the c2c
+                # external rate means a WHOLE circular convolution runs
+                # at the streaming cost of one FFT
+                from smfft_tpu.ops import convolve as CVB
+                ch_r = devdata(1, ncols, 9 * n)
+                ch_i = devdata(1, ncols, 9 * n + 1)
+
+                def f_conv():
+                    out = CVB.convolve_planar(vr, vi, ch_r[0], ch_i[0], n)
+                    float(force(out[0]))
+                measure("convolve", "convolve_gbs", f_conv, nbytes)
         if flags.multiple:
             # multiple: one kernel with MULT_ITERS in-VMEM
             # re-applications per tile (single HBM pass bracketing),

@@ -23,8 +23,8 @@ Design (TPU-first, not a CUDA port):
     axis over a jax.sharding.Mesh; the reference has no distributed
     machinery (SURVEY.md §2.4) so no collectives are needed.
 
-Public API: :func:`fft`, :func:`ifft`, :func:`rfft`, :func:`irfft` in
-:mod:`smfft_tpu.api`.
+Public API: :func:`fft`, :func:`ifft`, :func:`rfft`, :func:`irfft`, and
+the one-fused-kernel :func:`convolve` in :mod:`smfft_tpu.api`.
 """
 
 from smfft_tpu.params import (
@@ -34,7 +34,7 @@ from smfft_tpu.params import (
     plan_for,
 )
 from smfft_tpu.api import (fft, ifft, ifft_unordered, rfft, irfft,
-                           fft_packed_real)
+                           fft_packed_real, convolve)
 
 __version__ = "0.2.0"
 

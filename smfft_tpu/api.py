@@ -163,6 +163,53 @@ def ifft_unordered(x: jnp.ndarray, backend: Backend = "auto",
     return out
 
 
+def convolve(x: jnp.ndarray, h: jnp.ndarray, backend: Backend = "auto",
+             precision: str | None = None) -> jnp.ndarray:
+    """Batched circular convolution via the spectral theorem:
+    ``ifft(fft(x) * h) / N``.
+
+    Args:
+      x: complex64 (..., N) signal batch, N a supported C2C size.
+      h: complex64 (N,) filter FREQUENCY response in natural order
+        (compute once with ``fft(h_time)``) — or an (M, N) bank of
+        responses, returning (M, ..., N): every signal convolved with
+        every template (the matched-filtering shape; the forward FFT of
+        each signal is computed ONCE for the whole bank, in-kernel).
+      backend / precision: as :func:`fft`.
+
+    On the pallas backend the forward FFT, the spectral multiply, and the
+    inverse FFT run in ONE fused kernel — a single HBM read+write of the
+    signal, with the spectrum living only in VMEM in the internal
+    revblock layout (the relayout-free kernel A/B composition the
+    reference advertises its ``__device__`` cores for,
+    reference README.md:10,30-33).  Other backends fall back to the
+    three-step ordered composition.
+    """
+    n = x.shape[-1]
+    _check_c2c(n)
+    bank = h.ndim == 2
+    if h.shape != (n,) and not (bank and h.shape[-1] == n):
+        raise ValueError(f"filter must be natural-order frequency response "
+                         f"of shape ({n},) or (M, {n}), got {h.shape}")
+    precision = _resolve_precision(precision)
+    backend = _resolve_backend(backend)
+    if backend == "pallas":
+        from smfft_tpu.ops import convolve as conv_ops
+        if bank:
+            return conv_ops.convolve_bank_pallas(x, h, precision=precision)
+        return conv_ops.convolve_pallas(x, h, precision=precision)
+    spec = _c2c(x, inverse=False, ordered=True, backend=backend,
+                precision=precision)
+    if bank:
+        spec = spec[None] * h.reshape((h.shape[0],) + (1,) * (x.ndim - 1)
+                                      + (n,))
+    else:
+        spec = spec * h
+    out = _c2c(spec, inverse=True, ordered=True, backend=backend,
+               precision=precision)
+    return out / n
+
+
 def rfft(x: jnp.ndarray, backend: Backend = "auto",
          precision: str | None = None) -> jnp.ndarray:
     """Batched R2C FFT: real (..., N) -> complex (..., N/2+1), numpy layout."""

@@ -10,5 +10,6 @@ parallel, zero collectives, scaling over ICI/DCN for free.
 from smfft_tpu.parallel.sharding import (  # noqa: F401
     batch_mesh,
     shard_batch,
+    sharded_convolve,
     sharded_fft,
 )

@@ -95,6 +95,34 @@ def sharded_rfft(x: jnp.ndarray, mesh: Mesh, *, backend: str = "auto",
     return jax.jit(fn, out_shardings=NamedSharding(mesh, out_spec))(x)
 
 
+def sharded_convolve(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh, *,
+                     backend: str = "auto", precision: str = "highest",
+                     axis_name: str = "batch"):
+    """Fused circular convolution with the batch axis sharded across the
+    mesh and the filter (or (M, N) bank) replicated to every chip — the
+    batch-parallel matched-filter shape: zero collectives, each chip
+    convolves its local rows against the full template bank."""
+    from smfft_tpu import api
+
+    spec = PSpec(axis_name, *([None] * (x.ndim - 1)))
+    sharding = NamedSharding(mesh, spec)
+    x = jax.device_put(x, sharding)
+    h_spec = PSpec(*([None] * h.ndim))  # replicated
+    h = jax.device_put(h, NamedSharding(mesh, h_spec))
+    bank_dims = 1 if h.ndim == 2 else 0
+    out_spec = PSpec(*([None] * bank_dims), axis_name,
+                     *([None] * (x.ndim - 1)))
+    out_sharding = NamedSharding(mesh, out_spec)
+    fn = partial(api.convolve, backend=backend, precision=precision)
+    resolved = backend
+    if resolved == "auto":
+        resolved = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if resolved == "pallas":
+        mapped = _shard_map(fn, mesh, (spec, h_spec), out_spec)
+        return jax.jit(mapped, out_shardings=out_sharding)(x, h)
+    return jax.jit(fn, out_shardings=out_sharding)(x, h)
+
+
 def sharded_irfft(spec_arr: jnp.ndarray, mesh: Mesh, n: int, *,
                   backend: str = "auto", precision: str = "highest",
                   norm: str | None = "backward",

@@ -19,7 +19,8 @@ REPO = Path(__file__).resolve().parent
 
 COLS = (("external_gbs", "ext GB/s"), ("inverse_gbs", "inv GB/s"),
         ("ordered_gbs", "ord GB/s"), ("r2c_gbs", "r2c GB/s"),
-        ("c2r_gbs", "c2r GB/s"), ("external_mffts", "ext MFFT/s"),
+        ("c2r_gbs", "c2r GB/s"), ("convolve_gbs", "conv GB/s"),
+        ("external_mffts", "ext MFFT/s"),
         ("multiple_mffts", "mult MFFT/s"),
         ("multiple_pencil_mffts", "mult[pencil] MFFT/s"),
         ("multiple_r2c_mffts", "mult[r2c] MFFT/s"),

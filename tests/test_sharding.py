@@ -72,6 +72,35 @@ def test_sharded_fft_pallas_kernel(rng):
         PC.set_interpret(False)
 
 
+def test_sharded_convolve(rng):
+    """Batch-sharded fused convolution: signals sharded, the filter bank
+    replicated — every chip convolves its local rows against the full
+    bank (XLA path and the product Pallas kernel via shard_map)."""
+    from smfft_tpu.parallel import sharded_convolve
+    import smfft_tpu.ops.pallas_c2c as PC
+
+    mesh = batch_mesh()
+    n, m = 256, 2
+    x = (rng.random((64, n)) + 1j * rng.random((64, n))
+         - 0.5 - 0.5j).astype(np.complex64)
+    hs = (rng.random((m, n)) + 1j * rng.random((m, n))
+          - 0.5 - 0.5j).astype(np.complex64)
+    ref = np.fft.ifft(np.fft.fft(x.astype(np.complex128))[None]
+                      * hs.astype(np.complex128)[:, None])
+    y = sharded_convolve(jnp.array(x), jnp.array(hs), mesh, backend="xla")
+    assert y.shape == (m, 64, n)
+    assert len(y.sharding.device_set) == 8
+    assert max_abs_err(y, ref) < 1e-4
+    PC.set_interpret(True)
+    try:
+        yp = sharded_convolve(jnp.array(x), jnp.array(hs), mesh,
+                              backend="pallas")
+        assert len(yp.sharding.device_set) == 8
+        assert max_abs_err(yp, ref) < 1e-4
+    finally:
+        PC.set_interpret(False)
+
+
 def test_sharded_inverse_roundtrip(rng):
     mesh = batch_mesh()
     x = (rng.random((64, 1024)) + 1j * rng.random((64, 1024))

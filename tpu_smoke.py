@@ -228,6 +228,47 @@ def main():
     for n in (512, 2048):
         guarded(f"real reuse n={n}", lambda n=n: real_reuse_check(n))
 
+    # fused convolution API (ops/convolve.py): FFT -> filter -> iFFT in
+    # one Mosaic kernel
+    from smfft_tpu.ops import convolve as CV
+
+    def conv_check(n):
+        x = (rng.random((256, max(n, 128))) + 1j
+             * rng.random((256, max(n, 128))) - 0.5 - 0.5j
+             ).astype(np.complex64)
+        hf = (rng.random(n) + 1j * rng.random(n) - 0.5 - 0.5j
+              ).astype(np.complex64)
+        o_r, o_i = CV.convolve_planar(
+            jnp.array(np.ascontiguousarray(x.real)),
+            jnp.array(np.ascontiguousarray(x.imag)),
+            jnp.array(hf.real), jnp.array(hf.imag), n)
+        got = np.asarray(o_r) + 1j * np.asarray(o_i)
+        xs = x.reshape(-1, n)
+        ref = np.fft.ifft(np.fft.fft(xs.astype(np.complex128))
+                          * hf.astype(np.complex128)).reshape(x.shape)
+        check(f"fused convolve n={n}", np.max(np.abs(got - ref)),
+              tol(n, "highest"))
+
+    for n in (64, 1024, 4096):
+        guarded(f"fused convolve n={n}", lambda n=n: conv_check(n))
+
+    def conv_bank_check(n, m):
+        x = (rng.random((256, n)) + 1j * rng.random((256, n))
+             - 0.5 - 0.5j).astype(np.complex64)
+        hf = (rng.random((m, n)) + 1j * rng.random((m, n)) - 0.5 - 0.5j
+              ).astype(np.complex64)
+        o_r, o_i = CV.convolve_bank_planar(
+            jnp.array(np.ascontiguousarray(x.real)),
+            jnp.array(np.ascontiguousarray(x.imag)),
+            jnp.array(hf.real), jnp.array(hf.imag), n)
+        got = np.asarray(o_r) + 1j * np.asarray(o_i)
+        f = np.fft.fft(x.astype(np.complex128))
+        err = max(np.max(np.abs(got[j] - np.fft.ifft(f * hf[j])))
+                  for j in range(m))
+        check(f"conv bank m={m} n={n}", err, tol(n, "highest"))
+
+    guarded("conv bank", lambda: conv_bank_check(1024, 4))
+
     print(f"{'ALL PASSED' if failures == 0 else f'{failures} FAILURES'}")
     return 0 if failures == 0 else 1
 
