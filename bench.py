@@ -186,6 +186,16 @@ def main():
                     out = CVB.convolve_planar(vr, vi, ch_r[0], ch_i[0], n)
                     float(force(out[0]))
                 measure("convolve", "convolve_gbs", f_conv, nbytes)
+
+                # real fused convolution: n real samples in + out
+                rh_r = devdata(1, n // 2 + 128, 9 * n + 2)[0, :n // 2 + 1]
+                rh_i = devdata(1, n // 2 + 128, 9 * n + 3)[0, :n // 2 + 1]
+
+                def f_rconv():
+                    out = CVB.convolve_real_planar(x_real, rh_r, rh_i, n)
+                    float(force(out))
+                measure("convolve[real]", "convolve_real_gbs", f_rconv,
+                        rows_n * n * 8)
         if flags.multiple:
             # multiple: one kernel with MULT_ITERS in-VMEM
             # re-applications per tile (single HBM pass bracketing),

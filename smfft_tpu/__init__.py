@@ -34,7 +34,7 @@ from smfft_tpu.params import (
     plan_for,
 )
 from smfft_tpu.api import (fft, ifft, ifft_unordered, rfft, irfft,
-                           fft_packed_real, convolve)
+                           fft_packed_real, convolve, convolve_real)
 
 __version__ = "0.2.0"
 

@@ -210,6 +210,42 @@ def convolve(x: jnp.ndarray, h: jnp.ndarray, backend: Backend = "auto",
     return out / n
 
 
+def convolve_real(x: jnp.ndarray, h: jnp.ndarray,
+                  backend: Backend = "auto",
+                  precision: str | None = None) -> jnp.ndarray:
+    """Batched REAL circular convolution: real signals against a real
+    filter's rfft-style response, at half the traffic of :func:`convolve`.
+
+    Args:
+      x: float32 (..., N) real signal batch, N >= 256 a supported real
+        size.
+      h: complex64 (N/2+1,) filter frequency response in natural order
+        (compute once with ``rfft(h_time)``; DC/Nyquist imaginary parts
+        are ignored — they are zero for any real filter).
+
+    On the pallas backend this is r2c -> half-spectrum multiply -> c2r
+    in ONE fused kernel: N real samples cross HBM once each way and the
+    packed half spectrum lives only in VMEM (the r2c and c2r cores pair
+    with zero relayout).  Other backends fall back to the three-step
+    rfft/irfft composition.
+    """
+    n = x.shape[-1]
+    if n not in P.SUPPORTED_REAL_SIZES or n < 256:
+        raise ValueError(
+            f"Error wrong FFT length! N={n}; real convolve supports "
+            f"{[s for s in P.SUPPORTED_REAL_SIZES if s >= 256]}")
+    if h.shape != (n // 2 + 1,):
+        raise ValueError(f"filter must be an rfft-style frequency response "
+                         f"of shape ({n // 2 + 1},), got {h.shape}")
+    precision = _resolve_precision(precision)
+    backend = _resolve_backend(backend)
+    if backend == "pallas":
+        from smfft_tpu.ops import convolve as conv_ops
+        return conv_ops.convolve_real_pallas(x, h, precision=precision)
+    spec = rfft(x, backend=backend, precision=precision)
+    return irfft(spec * h, n=n, backend=backend, precision=precision)
+
+
 def rfft(x: jnp.ndarray, backend: Backend = "auto",
          precision: str | None = None) -> jnp.ndarray:
     """Batched R2C FFT: real (..., N) -> complex (..., N/2+1), numpy layout."""

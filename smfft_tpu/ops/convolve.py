@@ -249,6 +249,119 @@ def convolve_bank_planar(vr: jnp.ndarray, vi: jnp.ndarray,
     return o_r, o_i
 
 
+@functools.lru_cache(maxsize=None)
+def _build_conv_real(n: int, precision: str, tile_t: int):
+    """Fused REAL convolution kernel: r2c -> half-spectrum multiply ->
+    c2r, one VMEM pass — half the HBM traffic and roughly half the
+    arithmetic of the complex kernel (real in, real out, half-size
+    spectrum).  The real-transform emitters pair with zero relayout:
+    emit_rfft's revblock packed spectrum is exactly what emit_irfft
+    consumes."""
+    from smfft_tpu.config import debug_print
+    from smfft_tpu.ops import pallas_real as PR
+    debug_print(f"build conv real kernel: n={n} precision={precision} "
+                f"tile={tile_t}")
+    fwd = PR._rfft_tables(n, precision)
+    inv = PR._irfft_tables(n, precision)
+    ncf, nci = len(fwd), len(inv)
+    L = n // 2
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        cf = tuple(r[:] for r in refs[1:1 + ncf])
+        ci = tuple(r[:] for r in refs[1 + ncf:1 + ncf + nci])
+        hr = refs[1 + ncf + nci][:]
+        hi = refs[2 + ncf + nci][:]
+        o_ref = refs[3 + ncf + nci]
+        fr, fi = PR.emit_rfft(x_ref[:], cf, n=n, tile_t=tile_t,
+                              precision=precision)
+        # packed half-spectrum product: complex everywhere except slot 0
+        # (column 0 packs (DC, Nyquist) — both real for real signals and
+        # real filters, so the product there is two independent real
+        # multiplies)
+        at0 = jax.lax.broadcasted_iota(jnp.int32, fr.shape, 1) == 0
+        gr = jnp.where(at0, fr * hr, fr * hr - fi * hi)
+        gi = jnp.where(at0, fi * hi, fr * hi + fi * hr)
+        o_ref[:] = PR.emit_irfft(gr, gi, ci, n=n, tile_t=tile_t,
+                                 precision=precision)
+
+    @jax.jit
+    def run(x, hr, hi):
+        b = x.shape[0]
+        grid = b // tile_t
+        in_spec = pl.BlockSpec((tile_t, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = in_spec
+        cspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        hspec = pl.BlockSpec((1, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        if _pc._INTERPRET:
+            compiler_params = None
+        else:
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel",))
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=([in_spec] + [cspec] * (ncf + nci) + [hspec, hspec]),
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+            compiler_params=compiler_params,
+            interpret=_pc._INTERPRET,
+        )(x, *fwd, *inv, hr, hi)
+
+    return run
+
+
+def _pack_real_response(hr, hi, n: int):
+    """rfft-style half response (n/2+1 real/imag rows) -> the packed
+    revblock (1, n/2) filter rows with the inverse's 1/(n/2) folded in.
+    Slot 0 packs (Re H[0], Re H[n/2]); the DC/Nyquist imaginary parts
+    are ignored (zero for any real filter)."""
+    L = n // 2
+    scale = np.float32(1.0 / L)
+    hr = jnp.asarray(hr, jnp.float32) * scale
+    hi = jnp.asarray(hi, jnp.float32) * scale
+    pk_r = jnp.concatenate([hr[:1], hr[1:L]])
+    pk_i = jnp.concatenate([hr[L:L + 1], hi[1:L]])
+    return (freq_to_revblock(pk_r, L)[None, :],
+            freq_to_revblock(pk_i, L)[None, :])
+
+
+def convolve_real_planar(x: jnp.ndarray, hr: jnp.ndarray,
+                         hi: jnp.ndarray, n: int,
+                         precision: str = "highest",
+                         tile_t: int | None = None):
+    """Fused real circular convolution: real rows (B, n) fp32 against an
+    rfft-style frequency response hr/hi (n/2+1,) -> real (B, n)."""
+    if n < 256 or n not in P.SUPPORTED_REAL_SIZES:
+        raise ValueError(
+            f"Error wrong FFT length! real convolve supports n in "
+            f"{[s for s in P.SUPPORTED_REAL_SIZES if s >= 256]}, got {n}")
+    precision = _pc.resolve_scheme_real(precision, n)
+    hr, hi = _pack_real_response(hr, hi, n)
+    zeros = jnp.zeros_like(x)
+    x, _, rows = _pc._pad_rows(x, zeros)
+    tile = _pc._pick_tile(x.shape[0], n, tile_t or _default_conv_tile(n))
+    run = _build_conv_real(n, precision, tile)
+    out = run(x, hr, hi)
+    return out[:rows] if rows != out.shape[0] else out
+
+
+def convolve_real_pallas(x: jnp.ndarray, h: jnp.ndarray,
+                         precision: str = "highest",
+                         tile_t: int | None = None) -> jnp.ndarray:
+    """Real convenience wrapper: x fp32 (..., N), h complex64 (N/2+1,)
+    rfft-style response -> real circular convolution (..., N)."""
+    n = x.shape[-1]
+    batch_shape = x.shape[:-1]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    out = convolve_real_planar(x.reshape(b, n), jnp.real(h), jnp.imag(h),
+                               n, precision=precision, tile_t=tile_t)
+    return out.reshape(batch_shape + (n,))
+
+
 def convolve_pallas(x: jnp.ndarray, h: jnp.ndarray,
                     precision: str = "highest",
                     tile_t: int | None = None) -> jnp.ndarray:

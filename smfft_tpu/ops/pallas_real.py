@@ -168,122 +168,127 @@ def _deinterleave(x, rows):
     return merge(idx_e), merge(idx_o)
 
 
+def emit_rfft(x, cs, *, n: int, tile_t: int, precision: str = "highest",
+              ordered: bool = False):
+    """In-kernel R2C emitter, composable from user Pallas kernels (the
+    real-transform counterpart of pallas_c2c.emit_fft).
+
+    x: (tile_t, n) fp32 natural real rows; cs: the values of
+    :func:`_rfft_tables` (read refs with ``tuple(r[:] for r in refs)``).
+    Returns a planar pair (tile_t, n/2) holding the packed spectrum in
+    revblock layout (natural order with ordered=True), slot k=0 carrying
+    (DC, Nyquist) as (re, im) (reference layout,
+    FFT-GPU-32bit-Stockham.cu:332-340)."""
+    L = n // 2
+    c = L // LANES
+    n_split = n_splits(precision)
+    t_re, t_im, m = cs[:3]
+    m_splits = cs[3:3 + n_split] or None
+    p_re, p_im, q_re, q_im = cs[3 + n_split:]
+    # per-256-lane chunk deinterleave -> plane lists (zero reshapes;
+    # any rank/row-width change outside the kernel is an HBM copy)
+    pre, pim = [], []
+    for j in range(c):
+        if _pc._ABLATE == "no_deint":  # perf probe: wrong result
+            zr = x[:, j * 256:j * 256 + LANES]
+            zi = x[:, j * 256 + LANES:(j + 1) * 256]
+        else:
+            zr, zi = _deinterleave(x[:, j * 256:(j + 1) * 256],
+                                   tile_t)
+        pre.append(zr)
+        pim.append(zi)
+    if _pc._ABLATE == "copy_only":  # perf probe: wrong result
+        return (jnp.concatenate(pre, axis=-1) if c > 1 else pre[0],
+                jnp.concatenate(pim, axis=-1) if c > 1 else pim[0])
+
+    # half-size C2C core, plane-list form
+    s_r, s_i = _plane_dft_list(pre, pim, -1.0)
+    # twiddle per plane (w_L^{k2*n1}); trivial when c == 1 (the table
+    # is a zero placeholder in that case)
+    if c > 1:
+        for k2 in range(c):
+            tr, ti = t_re[k2, :], t_im[k2, :]
+            s_r[k2], s_i[k2] = (s_r[k2] * tr - s_i[k2] * ti,
+                                s_r[k2] * ti + s_i[k2] * tr)
+    # ONE symmetry-packed lane DFT (2 real dots); both the spectrum
+    # AND its lane mirror come from the same four recon components
+    # (C columns mirror-symmetric, S anti-symmetric):
+    #   zf  = (cr - si) + i(sr + ci)
+    #   zf[(128-k1)%128] = (cr + si) + i(ci - sr)   -- zero gathers
+    # so the mirror operand rv costs only sign-combines plus a lane
+    # roll per chunk (the global mirror is chunk-permute + 127-k1,
+    # i.e. the (128-k1)%128 form rolled by -1).
+    a_r = jnp.concatenate(s_r, axis=0)
+    a_i = jnp.concatenate(s_i, axis=0)
+    p_r = _pc._sym_dot(a_r, m, m_splits, precision)
+    p_i = _pc._sym_dot(a_i, m, m_splits, precision)
+    cr_, ci_, sr_, si_ = _pc._sym_recon_parts(p_r, p_i)
+    zf_r, zf_i = cr_ - si_, sr_ + ci_
+    zf_rc = [zf_r[k * tile_t:(k + 1) * tile_t] for k in range(c)]
+    zf_ic = [zf_i[k * tile_t:(k + 1) * tile_t] for k in range(c)]
+    if _pc._ABLATE == "no_mirror":  # perf probe: wrong result
+        rv_rc, rv_ic = zf_rc, zf_ic
+    else:
+        zm_r, zm_i = cr_ + si_, ci_ - sr_
+        zm_rc = [zm_r[k * tile_t:(k + 1) * tile_t] for k in range(c)]
+        zm_ic = [zm_i[k * tile_t:(k + 1) * tile_t] for k in range(c)]
+        # roll by -1 == +127 (pltpu.roll wants non-negative shifts)
+        rv_rc = [zm_rc[0]] + [pltpu.roll(zm_rc[c - k2], 127, axis=1)
+                              for k2 in range(1, c)]
+        rv_ic = [zm_ic[0]] + [pltpu.roll(zm_ic[c - k2], 127, axis=1)
+                              for k2 in range(1, c)]
+
+    # X = P*Z + Q*conj(Zm), per chunk (P/Q table rows)
+    if _pc._ABLATE == "no_recomb":  # perf probe: wrong result
+        return (jnp.concatenate(zf_rc, axis=-1) if c > 1 else zf_rc[0],
+                jnp.concatenate(zf_ic, axis=-1) if c > 1 else zf_ic[0])
+    out_r, out_i = [], []
+    for k2 in range(c):
+        pr, pi = p_re[k2, :], p_im[k2, :]
+        qr, qi = q_re[k2, :], q_im[k2, :]
+        xr_ = (zf_rc[k2] * pr - zf_ic[k2] * pi) \
+            + (rv_rc[k2] * qr + rv_ic[k2] * qi)
+        xi_ = (zf_rc[k2] * pi + zf_ic[k2] * pr) \
+            + (-rv_ic[k2] * qr + rv_rc[k2] * qi)
+        if k2 == 0:
+            # slot k=0 (lane 0 of chunk 0) packs (DC, Nyquist) =
+            # (ReZ0 + ImZ0, ReZ0 - ImZ0); full-shape mask select
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_t, LANES), 1)
+            at0 = lane == 0
+            xr_ = jnp.where(at0, zf_rc[0] + zf_ic[0], xr_)
+            xi_ = jnp.where(at0, zf_rc[0] - zf_ic[0], xi_)
+        out_r.append(xr_)
+        out_i.append(xi_)
+    if ordered and c > 1:
+        return digit_swap_merge(out_r), digit_swap_merge(out_i)
+    return (jnp.concatenate(out_r, axis=-1) if c > 1 else out_r[0],
+            jnp.concatenate(out_i, axis=-1) if c > 1 else out_i[0])
+
+
 @functools.lru_cache(maxsize=None)
 def _build_rfft(plan: P.FFTParams, tile_t: int, precision: str):
     """Fused R2C kernel: real (rows, n) -> packed revblock spectrum.
 
     Specialized on the static r2c :class:`FFTParams` plan (n = real length,
     core at n//2 — the reference's half-size template dispatch,
-    FFT-GPU-32bit-Stockham.cu:406-427).
-
-    Output layout: (rows*c, 128) planar pair holding the packed spectrum
-    X[k] (k = k1*c + k2 at [row k2-plane, lane k1]), slot k=0 carrying
-    (DC, Nyquist) as (re, im) (reference layout,
-    FFT-GPU-32bit-Stockham.cu:332-340).
-    """
+    FFT-GPU-32bit-Stockham.cu:406-427).  The transform itself is
+    :func:`emit_rfft`; this wrapper owns the pallas_call plumbing."""
     n = plan.n
     ordered = plan.ordered
     L = n // 2
-    c = L // LANES
-    assert c >= 1
+    assert L // LANES >= 1
     consts = _rfft_tables(n, precision)
     n_c = len(consts)
-    n_split = n_splits(precision)
 
     def kernel(*refs):
         x_ref = refs[0]
         cs = tuple(r[:] for r in refs[1:1 + n_c])
-        t_re, t_im, m = cs[:3]
-        m_splits = cs[3:3 + n_split] or None
-        p_re, p_im, q_re, q_im = cs[3 + n_split:]
         or_ref, oi_ref = refs[1 + n_c], refs[2 + n_c]
-
-        x = x_ref[:]                                  # (tile, n) natural
-        # per-256-lane chunk deinterleave -> plane lists (zero reshapes;
-        # any rank/row-width change outside the kernel is an HBM copy)
-        pre, pim = [], []
-        for j in range(c):
-            if _pc._ABLATE == "no_deint":  # perf probe: wrong result
-                zr = x[:, j * 256:j * 256 + LANES]
-                zi = x[:, j * 256 + LANES:(j + 1) * 256]
-            else:
-                zr, zi = _deinterleave(x[:, j * 256:(j + 1) * 256],
-                                       tile_t)
-            pre.append(zr)
-            pim.append(zi)
-        if _pc._ABLATE == "copy_only":  # perf probe: wrong result
-            or_ref[:] = jnp.concatenate(pre, axis=-1) if c > 1 else pre[0]
-            oi_ref[:] = jnp.concatenate(pim, axis=-1) if c > 1 else pim[0]
-            return
-
-        # half-size C2C core, plane-list form
-        s_r, s_i = _plane_dft_list(pre, pim, -1.0)
-        # twiddle per plane (w_L^{k2*n1}); trivial when c == 1 (the table
-        # is a zero placeholder in that case)
-        if c > 1:
-            for k2 in range(c):
-                tr, ti = t_re[k2, :], t_im[k2, :]
-                s_r[k2], s_i[k2] = (s_r[k2] * tr - s_i[k2] * ti,
-                                    s_r[k2] * ti + s_i[k2] * tr)
-        # ONE symmetry-packed lane DFT (2 real dots); both the spectrum
-        # AND its lane mirror come from the same four recon components
-        # (C columns mirror-symmetric, S anti-symmetric):
-        #   zf  = (cr - si) + i(sr + ci)
-        #   zf[(128-k1)%128] = (cr + si) + i(ci - sr)   -- zero gathers
-        # so the mirror operand rv costs only sign-combines plus a lane
-        # roll per chunk (the global mirror is chunk-permute + 127-k1,
-        # i.e. the (128-k1)%128 form rolled by -1).
-        a_r = jnp.concatenate(s_r, axis=0)
-        a_i = jnp.concatenate(s_i, axis=0)
-        p_r = _pc._sym_dot(a_r, m, m_splits, precision)
-        p_i = _pc._sym_dot(a_i, m, m_splits, precision)
-        cr_, ci_, sr_, si_ = _pc._sym_recon_parts(p_r, p_i)
-        zf_r, zf_i = cr_ - si_, sr_ + ci_
-        zf_rc = [zf_r[k * tile_t:(k + 1) * tile_t] for k in range(c)]
-        zf_ic = [zf_i[k * tile_t:(k + 1) * tile_t] for k in range(c)]
-        if _pc._ABLATE == "no_mirror":  # perf probe: wrong result
-            rv_rc, rv_ic = zf_rc, zf_ic
-        else:
-            zm_r, zm_i = cr_ + si_, ci_ - sr_
-            zm_rc = [zm_r[k * tile_t:(k + 1) * tile_t] for k in range(c)]
-            zm_ic = [zm_i[k * tile_t:(k + 1) * tile_t] for k in range(c)]
-            # roll by -1 == +127 (pltpu.roll wants non-negative shifts)
-            rv_rc = [zm_rc[0]] + [pltpu.roll(zm_rc[c - k2], 127, axis=1)
-                                  for k2 in range(1, c)]
-            rv_ic = [zm_ic[0]] + [pltpu.roll(zm_ic[c - k2], 127, axis=1)
-                                  for k2 in range(1, c)]
-
-        # X = P*Z + Q*conj(Zm), per chunk (P/Q table rows)
-        if _pc._ABLATE == "no_recomb":  # perf probe: wrong result
-            or_ref[:] = jnp.concatenate(zf_rc, axis=-1) if c > 1 else zf_rc[0]
-            oi_ref[:] = jnp.concatenate(zf_ic, axis=-1) if c > 1 else zf_ic[0]
-            return
-        out_r, out_i = [], []
-        for k2 in range(c):
-            pr, pi = p_re[k2, :], p_im[k2, :]
-            qr, qi = q_re[k2, :], q_im[k2, :]
-            xr_ = (zf_rc[k2] * pr - zf_ic[k2] * pi) \
-                + (rv_rc[k2] * qr + rv_ic[k2] * qi)
-            xi_ = (zf_rc[k2] * pi + zf_ic[k2] * pr) \
-                + (-rv_ic[k2] * qr + rv_rc[k2] * qi)
-            if k2 == 0:
-                # slot k=0 (lane 0 of chunk 0) packs (DC, Nyquist) =
-                # (ReZ0 + ImZ0, ReZ0 - ImZ0); full-shape mask select
-                lane = jax.lax.broadcasted_iota(
-                    jnp.int32, (tile_t, LANES), 1)
-                at0 = lane == 0
-                xr_ = jnp.where(at0, zf_rc[0] + zf_ic[0], xr_)
-                xi_ = jnp.where(at0, zf_rc[0] - zf_ic[0], xi_)
-            out_r.append(xr_)
-            out_i.append(xi_)
-        if ordered and c > 1:
-            or_ref[:] = digit_swap_merge(out_r)
-            oi_ref[:] = digit_swap_merge(out_i)
-        else:
-            or_ref[:] = (jnp.concatenate(out_r, axis=-1)
-                         if c > 1 else out_r[0])
-            oi_ref[:] = (jnp.concatenate(out_i, axis=-1)
-                         if c > 1 else out_i[0])
+        o_r, o_i = emit_rfft(x_ref[:], cs, n=n, tile_t=tile_t,
+                             precision=precision, ordered=ordered)
+        or_ref[:] = o_r
+        oi_ref[:] = o_i
 
     in_spec = pl.BlockSpec((tile_t, n), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -441,102 +446,116 @@ def _interleave(z_re, z_im, rows):
     return jnp.concatenate([out0, out1], axis=-1)
 
 
+def emit_irfft(x_r, x_i, cs, *, n: int, tile_t: int,
+               precision: str = "highest", in_natural: bool = False):
+    """In-kernel C2R emitter, composable from user Pallas kernels (the
+    inverse counterpart of :func:`emit_rfft`).
+
+    x_r, x_i: (tile_t, n/2) planar packed spectrum (slot 0 = (DC, Nyq)),
+    revblock layout — or natural order with in_natural=True (converted
+    in-kernel via digit_swap_split).  cs: the values of
+    :func:`_irfft_tables`.  Returns (tile_t, n) natural real rows,
+    scaled by n/2 (reference contract, SURVEY.md quirk 3)."""
+    L = n // 2
+    c = L // LANES
+    n_split = n_splits(precision)
+    t_re, t_im, m = cs[:3]
+    m_splits = cs[3:3 + n_split] or None
+    a_re, a_im, b_re, b_im = cs[3 + n_split:]
+
+    if in_natural and c > 1:
+        # natural -> revblock conversion in-kernel (no HBM relayout)
+        rc = digit_swap_split(x_r, c)
+        ic = digit_swap_split(x_i, c)
+        xc = list(zip(rc, ic))
+    else:
+        xc = [ (x_r[:, j*LANES:(j+1)*LANES],
+                x_i[:, j*LANES:(j+1)*LANES]) for j in range(c)]
+    # term-1 operand: A*X, with slot 0 replaced by the true
+    # Z[0] = (DC+Nyq)/2 + i(DC-Nyq)/2  (X[0] packs (DC, Nyq))
+    u1_r, u1_i = [], []
+    for k2 in range(c):
+        ar_, ai_ = a_re[k2, :], a_im[k2, :]
+        vr, vi = xc[k2]
+        tr = vr * ar_ - vi * ai_
+        ti = vr * ai_ + vi * ar_
+        if k2 == 0:
+            l0 = jax.lax.broadcasted_iota(jnp.int32, tr.shape, 1) == 0
+            tr = jnp.where(l0, (vr + vi) * 0.5, tr)
+            ti = jnp.where(l0, (vr - vi) * 0.5, ti)
+        u1_r.append(tr)
+        u1_i.append(ti)
+
+    # term-2 operand: B * perm(conj(X[mirror-plane])), slot 0 zeroed
+    # (its contribution is already carried in u1's slot-0 fix).  The
+    # row-permuted matmuls of the old formulation moved onto the
+    # DATA: u @ G[perm,:] == (lane-permuted u) @ G, so both merge
+    # operands share ONE lane DFT below (2 real dots total vs the
+    # previous 9).
+    flip = flip_lanes
+    u2_r, u2_i = [], []
+    for k2 in range(c):
+        vr, vi = xc[(c - k2) % c]
+        pvr, pvi = flip(vr), flip(vi)
+        if k2 == 0:
+            pvr = pltpu.roll(pvr, 1, axis=1)
+            pvi = pltpu.roll(pvi, 1, axis=1)
+        pvi = -pvi                          # conj
+        br_, bi_ = b_re[k2, :], b_im[k2, :]
+        tr = pvr * br_ - pvi * bi_
+        ti = pvr * bi_ + pvi * br_
+        if k2 == 0:
+            l0 = jax.lax.broadcasted_iota(jnp.int32, tr.shape, 1) == 0
+            tr = jnp.where(l0, 0.0, tr)
+            ti = jnp.where(l0, 0.0, ti)
+        u2_r.append(tr)
+        u2_i.append(ti)
+
+    # fold both operands and run ONE symmetry-packed lane DFT
+    op_r = jnp.concatenate([u1_r[j] + u2_r[j] for j in range(c)],
+                           axis=0)
+    op_i = jnp.concatenate([u1_i[j] + u2_i[j] for j in range(c)],
+                           axis=0)
+    s1_r, s1_i = _lane_dft(op_r, op_i, m, m_splits, precision)
+
+    pre, pim = [], []
+    for j2 in range(c):
+        rr = s1_r[j2 * tile_t:(j2 + 1) * tile_t]
+        ii = s1_i[j2 * tile_t:(j2 + 1) * tile_t]
+        # inverse twiddle w_L^{+j2*m1}
+        if c > 1:
+            tr_, ti_ = t_re[j2, :], t_im[j2, :]
+            rr, ii = rr * tr_ - ii * ti_, rr * ti_ + ii * tr_
+        pre.append(rr)
+        pim.append(ii)
+
+    # sublane inverse DFT_C over j2 -> m2
+    zr, zi = _plane_dft_list(pre, pim, +1.0)
+    # interleave (re, im) -> (even, odd) real samples per chunk
+    out = [ _interleave(zr[m2], zi[m2], tile_t) for m2 in range(c)]
+    return jnp.concatenate(out, axis=-1) if c > 1 else out[0]
+
+
 @functools.lru_cache(maxsize=None)
 def _build_irfft(plan: P.FFTParams, tile_t: int, precision: str,
                  in_natural: bool = False):
     """Fused C2R kernel: packed spectrum (rows, L) planar -> natural real
     (rows, n), scaled by L.  Specialized on the static c2r
-    :class:`FFTParams` plan.  in_natural=True accepts the packed spectrum
-    in NATURAL order and converts to revblock in-kernel (digit_swap_split)
-    — no XLA relayout pass."""
+    :class:`FFTParams` plan.  The transform itself is :func:`emit_irfft`;
+    this wrapper owns the pallas_call plumbing."""
     n = plan.n
     L = n // 2
-    c = L // LANES
-    assert c >= 1
+    assert L // LANES >= 1
     consts = _irfft_tables(n, precision)
     n_c = len(consts)
-    n_split = n_splits(precision)
 
     def kernel(*refs):
         xr_ref, xi_ref = refs[0], refs[1]
         cs = tuple(r[:] for r in refs[2:2 + n_c])
-        t_re, t_im, m = cs[:3]
-        m_splits = cs[3:3 + n_split] or None
-        a_re, a_im, b_re, b_im = cs[3 + n_split:]
         o_ref = refs[2 + n_c]
-
-        x_r, x_i = xr_ref[:], xi_ref[:]        # (tile, L) packed spectrum
-        if in_natural and c > 1:
-            # natural -> revblock conversion in-kernel (no HBM relayout)
-            rc = digit_swap_split(x_r, c)
-            ic = digit_swap_split(x_i, c)
-            xc = list(zip(rc, ic))
-        else:
-            xc = [ (x_r[:, j*LANES:(j+1)*LANES],
-                    x_i[:, j*LANES:(j+1)*LANES]) for j in range(c)]
-        # term-1 operand: A*X, with slot 0 replaced by the true
-        # Z[0] = (DC+Nyq)/2 + i(DC-Nyq)/2  (X[0] packs (DC, Nyq))
-        u1_r, u1_i = [], []
-        for k2 in range(c):
-            ar_, ai_ = a_re[k2, :], a_im[k2, :]
-            vr, vi = xc[k2]
-            tr = vr * ar_ - vi * ai_
-            ti = vr * ai_ + vi * ar_
-            if k2 == 0:
-                l0 = jax.lax.broadcasted_iota(jnp.int32, tr.shape, 1) == 0
-                tr = jnp.where(l0, (vr + vi) * 0.5, tr)
-                ti = jnp.where(l0, (vr - vi) * 0.5, ti)
-            u1_r.append(tr)
-            u1_i.append(ti)
-
-        # term-2 operand: B * perm(conj(X[mirror-plane])), slot 0 zeroed
-        # (its contribution is already carried in u1's slot-0 fix).  The
-        # row-permuted matmuls of the old formulation moved onto the
-        # DATA: u @ G[perm,:] == (lane-permuted u) @ G, so both merge
-        # operands share ONE lane DFT below (2 real dots total vs the
-        # previous 9).
-        flip = flip_lanes
-        u2_r, u2_i = [], []
-        for k2 in range(c):
-            vr, vi = xc[(c - k2) % c]
-            pvr, pvi = flip(vr), flip(vi)
-            if k2 == 0:
-                pvr = pltpu.roll(pvr, 1, axis=1)
-                pvi = pltpu.roll(pvi, 1, axis=1)
-            pvi = -pvi                          # conj
-            br_, bi_ = b_re[k2, :], b_im[k2, :]
-            tr = pvr * br_ - pvi * bi_
-            ti = pvr * bi_ + pvi * br_
-            if k2 == 0:
-                l0 = jax.lax.broadcasted_iota(jnp.int32, tr.shape, 1) == 0
-                tr = jnp.where(l0, 0.0, tr)
-                ti = jnp.where(l0, 0.0, ti)
-            u2_r.append(tr)
-            u2_i.append(ti)
-
-        # fold both operands and run ONE symmetry-packed lane DFT
-        op_r = jnp.concatenate([u1_r[j] + u2_r[j] for j in range(c)],
-                               axis=0)
-        op_i = jnp.concatenate([u1_i[j] + u2_i[j] for j in range(c)],
-                               axis=0)
-        s1_r, s1_i = _lane_dft(op_r, op_i, m, m_splits, precision)
-
-        pre, pim = [], []
-        for j2 in range(c):
-            rr = s1_r[j2 * tile_t:(j2 + 1) * tile_t]
-            ii = s1_i[j2 * tile_t:(j2 + 1) * tile_t]
-            # inverse twiddle w_L^{+j2*m1}
-            if c > 1:
-                tr_, ti_ = t_re[j2, :], t_im[j2, :]
-                rr, ii = rr * tr_ - ii * ti_, rr * ti_ + ii * tr_
-            pre.append(rr)
-            pim.append(ii)
-
-        # sublane inverse DFT_C over j2 -> m2
-        zr, zi = _plane_dft_list(pre, pim, +1.0)
-        # interleave (re, im) -> (even, odd) real samples per chunk
-        out = [ _interleave(zr[m2], zi[m2], tile_t) for m2 in range(c)]
-        o_ref[:] = (jnp.concatenate(out, axis=-1) if c > 1 else out[0])
+        o_ref[:] = emit_irfft(xr_ref[:], xi_ref[:], cs, n=n,
+                              tile_t=tile_t, precision=precision,
+                              in_natural=in_natural)
 
     in_spec = pl.BlockSpec((tile_t, L), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)

@@ -20,6 +20,7 @@ REPO = Path(__file__).resolve().parent
 COLS = (("external_gbs", "ext GB/s"), ("inverse_gbs", "inv GB/s"),
         ("ordered_gbs", "ord GB/s"), ("r2c_gbs", "r2c GB/s"),
         ("c2r_gbs", "c2r GB/s"), ("convolve_gbs", "conv GB/s"),
+        ("convolve_real_gbs", "rconv GB/s"),
         ("external_mffts", "ext MFFT/s"),
         ("multiple_mffts", "mult MFFT/s"),
         ("multiple_pencil_mffts", "mult[pencil] MFFT/s"),

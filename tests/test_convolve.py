@@ -130,6 +130,51 @@ def test_filter_bank_api_and_fallback(rng):
         assert max_abs_err(got_x[j], ref) < tol(n)
 
 
+def real_oracle(x, h_half):
+    return np.fft.irfft(np.fft.rfft(x.astype(np.float64))
+                        * h_half.astype(np.complex128), x.shape[-1])
+
+
+@pytest.mark.parametrize("n", [256, 512, 2048])
+def test_real_convolve_vs_numpy(rng, n):
+    """Fused r2c -> half-spectrum multiply -> c2r kernel."""
+    b = 16
+    x = (rng.random((b, n)) * 2 - 1).astype(np.float32)
+    h_t = (rng.random(n) * 2 - 1).astype(np.float32)
+    h = np.fft.rfft(h_t.astype(np.float64)).astype(np.complex64)
+    got = np.asarray(CV.convolve_real_pallas(jnp.array(x), to_dev(h)))
+    assert got.shape == (b, n)
+    assert max_abs_err(got, real_oracle(x, h)) < tol(n)
+
+
+def test_real_convolve_identity(rng):
+    """H == 1 -> identity (checks slot-0 (DC, Nyquist) handling and the
+    1/(N/2) folding)."""
+    n, b = 1024, 8
+    x = (rng.random((b, n)) * 2 - 1).astype(np.float32)
+    h = np.ones(n // 2 + 1, np.complex64)
+    got = np.asarray(CV.convolve_real_pallas(jnp.array(x), to_dev(h)))
+    assert max_abs_err(got, x) < tol(n)
+
+
+def test_real_convolve_api_and_fallback(rng):
+    n, b = 512, 8
+    x = (rng.random((b, n)) * 2 - 1).astype(np.float32)
+    h_t = (rng.random(n) * 2 - 1).astype(np.float32)
+    h = np.fft.rfft(h_t.astype(np.float64)).astype(np.complex64)
+    ref = real_oracle(x, h)
+    got_p = np.asarray(S.convolve_real(jnp.array(x), to_dev(h),
+                                       backend="pallas"))
+    got_x = np.asarray(S.convolve_real(jnp.array(x), to_dev(h),
+                                       backend="xla"))
+    assert max_abs_err(got_p, ref) < tol(n)
+    assert max_abs_err(got_x, ref) < tol(n)
+    with pytest.raises(ValueError, match="rfft-style"):
+        S.convolve_real(jnp.array(x), to_dev(h[:-1]))
+    with pytest.raises(ValueError, match="wrong FFT length"):
+        S.convolve_real(jnp.array(x[:, :100]), to_dev(h))
+
+
 def test_odd_batch_padding(rng):
     """Non-multiple-of-8 row batches pad internally (same contract as
     fft_planar)."""

@@ -269,6 +269,20 @@ def main():
 
     guarded("conv bank", lambda: conv_bank_check(1024, 4))
 
+    def conv_real_check(n):
+        x = (rng.random((256, n)) * 2 - 1).astype(np.float32)
+        ht = (rng.random(n) * 2 - 1).astype(np.float32)
+        hf = np.fft.rfft(ht.astype(np.float64)).astype(np.complex64)
+        out = np.asarray(CV.convolve_real_planar(
+            jnp.array(x), jnp.array(hf.real), jnp.array(hf.imag), n))
+        ref = np.fft.irfft(np.fft.rfft(x.astype(np.float64))
+                           * np.fft.rfft(ht.astype(np.float64)), n)
+        check(f"real convolve n={n}", np.max(np.abs(out - ref)),
+              tol(n, "highest"))
+
+    for n in (512, 4096):
+        guarded(f"real convolve n={n}", lambda n=n: conv_real_check(n))
+
     print(f"{'ALL PASSED' if failures == 0 else f'{failures} FAILURES'}")
     return 0 if failures == 0 else 1
 
