@@ -221,7 +221,9 @@ def convolve_real(x: jnp.ndarray, h: jnp.ndarray,
         size.
       h: complex64 (N/2+1,) filter frequency response in natural order
         (compute once with ``rfft(h_time)``; DC/Nyquist imaginary parts
-        are ignored — they are zero for any real filter).
+        are ignored — they are zero for any real filter) — or an
+        (M, N/2+1) bank of responses, returning (M, ..., N) with each
+        signal's r2c computed once for the whole bank in-kernel.
 
     On the pallas backend this is r2c -> half-spectrum multiply -> c2r
     in ONE fused kernel: N real samples cross HBM once each way and the
@@ -234,16 +236,26 @@ def convolve_real(x: jnp.ndarray, h: jnp.ndarray,
         raise ValueError(
             f"Error wrong FFT length! N={n}; real convolve supports "
             f"{[s for s in P.SUPPORTED_REAL_SIZES if s >= 256]}")
-    if h.shape != (n // 2 + 1,):
+    bank = h.ndim == 2
+    if h.shape != (n // 2 + 1,) and not (bank and h.shape[-1] == n // 2 + 1):
         raise ValueError(f"filter must be an rfft-style frequency response "
-                         f"of shape ({n // 2 + 1},), got {h.shape}")
+                         f"of shape ({n // 2 + 1},) or (M, {n // 2 + 1}), "
+                         f"got {h.shape}")
     precision = _resolve_precision(precision)
     backend = _resolve_backend(backend)
     if backend == "pallas":
         from smfft_tpu.ops import convolve as conv_ops
+        if bank:
+            return conv_ops.convolve_real_bank_pallas(x, h,
+                                                      precision=precision)
         return conv_ops.convolve_real_pallas(x, h, precision=precision)
     spec = rfft(x, backend=backend, precision=precision)
-    return irfft(spec * h, n=n, backend=backend, precision=precision)
+    if bank:
+        spec = spec[None] * h.reshape((h.shape[0],) + (1,) * (x.ndim - 1)
+                                      + (n // 2 + 1,))
+    else:
+        spec = spec * h
+    return irfft(spec, n=n, backend=backend, precision=precision)
 
 
 def rfft(x: jnp.ndarray, backend: Backend = "auto",

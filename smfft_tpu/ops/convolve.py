@@ -349,6 +349,109 @@ def convolve_real_planar(x: jnp.ndarray, hr: jnp.ndarray,
     return out[:rows] if rows != out.shape[0] else out
 
 
+@functools.lru_cache(maxsize=None)
+def _build_conv_real_bank(n: int, m: int, precision: str, tile_t: int):
+    """Real filter-bank kernel: one r2c per signal tile, m half-spectrum
+    multiplies + m c2r inverses in VMEM (see _build_conv_bank — this is
+    the real-signal matched-filtering form at half the traffic)."""
+    from smfft_tpu.config import debug_print
+    from smfft_tpu.ops import pallas_real as PR
+    debug_print(f"build conv real bank kernel: n={n} m={m} "
+                f"precision={precision} tile={tile_t}")
+    fwd = PR._rfft_tables(n, precision)
+    inv = PR._irfft_tables(n, precision)
+    ncf, nci = len(fwd), len(inv)
+    L = n // 2
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        cf = tuple(r[:] for r in refs[1:1 + ncf])
+        ci = tuple(r[:] for r in refs[1 + ncf:1 + ncf + nci])
+        hr_ref = refs[1 + ncf + nci]
+        hi_ref = refs[2 + ncf + nci]
+        o_ref = refs[3 + ncf + nci]
+        fr, fi = PR.emit_rfft(x_ref[:], cf, n=n, tile_t=tile_t,
+                              precision=precision)
+        at0 = jax.lax.broadcasted_iota(jnp.int32, fr.shape, 1) == 0
+        for j in range(m):
+            hr = hr_ref[j:j + 1, :]
+            hi = hi_ref[j:j + 1, :]
+            gr = jnp.where(at0, fr * hr, fr * hr - fi * hi)
+            gi = jnp.where(at0, fi * hi, fr * hi + fi * hr)
+            o_ref[j] = PR.emit_irfft(gr, gi, ci, n=n, tile_t=tile_t,
+                                     precision=precision)
+
+    @jax.jit
+    def run(x, hr, hi):
+        b = x.shape[0]
+        grid = b // tile_t
+        in_spec = pl.BlockSpec((tile_t, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        hspec = pl.BlockSpec((m, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((m, tile_t, n), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+        if _pc._INTERPRET:
+            compiler_params = None
+        else:
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel",))
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=([in_spec] + [cspec] * (ncf + nci) + [hspec, hspec]),
+            out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct((m, b, n), jnp.float32),
+            compiler_params=compiler_params,
+            interpret=_pc._INTERPRET,
+        )(x, *fwd, *inv, hr, hi)
+
+    return run
+
+
+def convolve_real_bank_planar(x: jnp.ndarray, hr: jnp.ndarray,
+                              hi: jnp.ndarray, n: int,
+                              precision: str = "highest",
+                              tile_t: int | None = None):
+    """Planar real bank convolution: real rows (B, n) against m
+    rfft-style responses hr/hi (m, n/2+1) -> (m, B, n) real."""
+    if n < 256 or n not in P.SUPPORTED_REAL_SIZES:
+        raise ValueError(
+            f"Error wrong FFT length! real convolve supports n in "
+            f"{[s for s in P.SUPPORTED_REAL_SIZES if s >= 256]}, got {n}")
+    precision = _pc.resolve_scheme_real(precision, n)
+    m = hr.shape[0]
+    packed = [_pack_real_response(hr[j], hi[j], n) for j in range(m)]
+    hr = jnp.concatenate([p[0] for p in packed], axis=0)
+    hi = jnp.concatenate([p[1] for p in packed], axis=0)
+    zeros = jnp.zeros_like(x)
+    x, _, rows = _pc._pad_rows(x, zeros)
+    if tile_t is None:
+        tile_t = max(8, _pc.default_tile(n, False) // (2 * max(1, m)))
+        tile_t = 1 << (tile_t.bit_length() - 1)
+    tile = _pc._pick_tile(x.shape[0], n, tile_t)
+    run = _build_conv_real_bank(n, m, precision, tile)
+    out = run(x, hr, hi)
+    return out[:, :rows] if rows != out.shape[1] else out
+
+
+def convolve_real_bank_pallas(x: jnp.ndarray, h: jnp.ndarray,
+                              precision: str = "highest",
+                              tile_t: int | None = None) -> jnp.ndarray:
+    """Real bank wrapper: x fp32 (..., N), h complex64 (M, N/2+1)
+    rfft-style responses -> (M, ..., N) real convolutions."""
+    n = x.shape[-1]
+    m = h.shape[0]
+    batch_shape = x.shape[:-1]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    out = convolve_real_bank_planar(x.reshape(b, n), jnp.real(h),
+                                    jnp.imag(h), n, precision=precision,
+                                    tile_t=tile_t)
+    return out.reshape((m,) + batch_shape + (n,))
+
+
 def convolve_real_pallas(x: jnp.ndarray, h: jnp.ndarray,
                          precision: str = "highest",
                          tile_t: int | None = None) -> jnp.ndarray:

@@ -175,6 +175,23 @@ def test_real_convolve_api_and_fallback(rng):
         S.convolve_real(jnp.array(x[:, :100]), to_dev(h))
 
 
+def test_real_filter_bank(rng):
+    """Real bank: r2c once per signal, m half-spectrum products + c2r."""
+    n, m, b = 512, 3, 16
+    x = (rng.random((b, n)) * 2 - 1).astype(np.float32)
+    hts = (rng.random((m, n)) * 2 - 1).astype(np.float32)
+    hs = np.fft.rfft(hts.astype(np.float64)).astype(np.complex64)
+    got = np.asarray(S.convolve_real(jnp.array(x), to_dev(hs),
+                                     backend="pallas"))
+    got_x = np.asarray(S.convolve_real(jnp.array(x), to_dev(hs),
+                                       backend="xla"))
+    assert got.shape == got_x.shape == (m, b, n)
+    for j in range(m):
+        ref = real_oracle(x, hs[j])
+        assert max_abs_err(got[j], ref) < tol(n)
+        assert max_abs_err(got_x[j], ref) < tol(n)
+
+
 def test_odd_batch_padding(rng):
     """Non-multiple-of-8 row batches pad internally (same contract as
     fft_planar)."""
