@@ -35,6 +35,7 @@ from smfft_tpu.params import (
 )
 from smfft_tpu.api import (fft, ifft, ifft_unordered, rfft, irfft,
                            fft_packed_real, convolve, convolve_real)
+from smfft_tpu.signal import fftconvolve
 
 __version__ = "0.2.0"
 

@@ -283,6 +283,17 @@ def main():
     for n in (512, 4096):
         guarded(f"real convolve n={n}", lambda n=n: conv_real_check(n))
 
+    def fftconvolve_check():
+        import smfft_tpu as S
+        t, k = 3000, 65
+        x = (rng.random(t) * 2 - 1).astype(np.float32)
+        ht = (rng.random(k) * 2 - 1).astype(np.float32)
+        got = np.asarray(S.fftconvolve(jnp.array(x), jnp.array(ht)))
+        ref = np.convolve(x.astype(np.float64), ht.astype(np.float64))
+        check("fftconvolve stream", np.max(np.abs(got - ref)), 1e-3)
+
+    guarded("fftconvolve", fftconvolve_check)
+
     print(f"{'ALL PASSED' if failures == 0 else f'{failures} FAILURES'}")
     return 0 if failures == 0 else 1
 
