@@ -35,7 +35,9 @@ from smfft_tpu.params import (
 )
 from smfft_tpu.api import (fft, ifft, ifft_unordered, rfft, irfft,
                            fft_packed_real, convolve, convolve_real)
-from smfft_tpu.signal import fftconvolve
+from smfft_tpu.signal import (fftconvolve, get_window, power_spectrum,
+                              periodogram, welch, spectrogram, stft,
+                              istft)
 
 __version__ = "0.2.0"
 
@@ -50,4 +52,14 @@ __all__ = [
     "rfft",
     "irfft",
     "fft_packed_real",
+    "convolve",
+    "convolve_real",
+    "fftconvolve",
+    "get_window",
+    "power_spectrum",
+    "periodogram",
+    "welch",
+    "spectrogram",
+    "stft",
+    "istft",
 ]

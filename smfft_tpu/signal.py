@@ -110,3 +110,243 @@ def _pad_taps(h: jnp.ndarray, n: int, real: bool) -> jnp.ndarray:
     dt = jnp.float32 if real else jnp.complex64
     return jnp.concatenate(
         [h.astype(dt), jnp.zeros((n - h.shape[-1],), dt)])[None, :]
+
+
+# ---------------------------------------------------------------------------
+# Spectral analysis on the fused kernels: windows, power spectra,
+# periodogram / Welch / STFT / spectrogram.  The downstream shape of the
+# reference's home pipeline (Astro-Accelerate periodicity search) is
+# |X_k|^2 of windowed frames; the hot path here is the fused
+# power-spectrum kernel (ops/spectral.py — FFT + square in ONE HBM
+# pass) with the window multiply fused into the XLA framing gather.
+# ---------------------------------------------------------------------------
+
+
+def get_window(window, n: int, periodic: bool = True) -> jnp.ndarray:
+    """Window vector of length ``n`` (fp32).
+
+    ``window``: "boxcar" | "hann" | "hamming" | "blackman" | "bartlett"
+    or a ("kaiser", beta) tuple; an array of shape (n,) passes through.
+    ``periodic=True`` gives the DFT-even form used for spectral
+    estimation (scipy's fftbins=True).
+    """
+    if isinstance(window, (jnp.ndarray, np.ndarray)):
+        w = np.asarray(window, np.float32)
+        if w.shape != (n,):
+            raise ValueError(f"window array must have shape ({n},), "
+                             f"got {w.shape}")
+        return jnp.asarray(w)
+    m = n if periodic else n - 1
+    j = np.arange(n, dtype=np.float64)
+    if isinstance(window, tuple):
+        name, *args = window
+    else:
+        name, args = window, ()
+    if name == "boxcar":
+        w = np.ones(n)
+    elif name == "hann":
+        w = 0.5 - 0.5 * np.cos(2 * np.pi * j / m)
+    elif name == "hamming":
+        w = 0.54 - 0.46 * np.cos(2 * np.pi * j / m)
+    elif name == "blackman":
+        w = (0.42 - 0.5 * np.cos(2 * np.pi * j / m)
+             + 0.08 * np.cos(4 * np.pi * j / m))
+    elif name == "bartlett":
+        w = 1.0 - np.abs(2.0 * j / m - 1.0)
+    elif name == "kaiser":
+        beta = float(args[0]) if args else 8.6
+        w = np.i0(beta * np.sqrt(np.clip(
+            1.0 - (2.0 * j / m - 1.0) ** 2, 0.0, None))) / np.i0(beta)
+    else:
+        raise ValueError(f"unknown window {window!r}")
+    return jnp.asarray(w.astype(np.float32))
+
+
+def power_spectrum(x: jnp.ndarray, window: jnp.ndarray | None = None,
+                   backend: str = "auto",
+                   precision: str | None = None) -> jnp.ndarray:
+    """One-sided power spectrum of real rows: (..., n) fp32 ->
+    (..., n/2) fp32 with slot 0 = DC^2 and slot k = |X_k|^2.
+
+    The Nyquist bin is omitted (packed slot-0 convention — see
+    ops/spectral.py); spectral-search consumers discard DC/Nyquist.
+    For 256 <= n <= 4096 on TPU this runs as ONE fused kernel pass
+    (6 HBM bytes per sample); elsewhere it falls back to
+    rfft + XLA square.
+    """
+    from smfft_tpu import api
+
+    n = x.shape[-1]
+    if n not in P.SUPPORTED_REAL_SIZES or n < 256:
+        raise ValueError(
+            f"Error wrong FFT length! N={n}; power_spectrum supports "
+            f"{[s for s in P.SUPPORTED_REAL_SIZES if s >= 256]}")
+    backend_r = api._resolve_backend(backend)
+    prec = api._resolve_precision(precision)
+    batch_shape = x.shape[:-1]
+    if backend_r == "pallas" and 256 <= n <= 4096 and prec in ("highest",
+                                                               "high"):
+        from smfft_tpu.ops import spectral
+        rows = x.reshape(-1, n).astype(jnp.float32)
+        out = spectral.power_pencil_planar(rows, n, window=window)
+        return out.reshape(batch_shape + (n // 2,))
+    xw = x if window is None else x * window
+    spec = api.rfft(xw, backend=backend, precision=precision)
+    pw = jnp.real(spec * jnp.conj(spec))[..., :n // 2]
+    return pw.astype(jnp.float32)
+
+
+def _spectral_scale(window: jnp.ndarray, fs: float, scaling: str,
+                    n: int) -> tuple[float, float]:
+    """(all-bin factor, one-sided doubling factor) for scipy parity."""
+    w = np.asarray(window, np.float64)
+    if scaling == "density":
+        base = 1.0 / (fs * float(np.sum(w * w)))
+    elif scaling == "spectrum":
+        base = 1.0 / float(np.sum(w)) ** 2
+    else:
+        raise ValueError("scaling must be 'density' or 'spectrum'")
+    return base, 2.0 * base
+
+
+def _scale_onesided(pw: jnp.ndarray, base: float, double: float):
+    """Apply scipy one-sided scaling: DC bin gets base, bins 1.. get
+    2*base (the Nyquist bin, which would also get base, is omitted)."""
+    scale = jnp.full((pw.shape[-1],), np.float32(double))
+    scale = scale.at[0].set(np.float32(base))
+    return pw * scale
+
+
+def periodogram(x: jnp.ndarray, fs: float = 1.0, window="boxcar",
+                detrend: str | bool = "constant",
+                scaling: str = "density", backend: str = "auto",
+                precision: str | None = None):
+    """scipy.signal.periodogram over the fused power kernel.
+
+    Returns (freqs (n/2,), Pxx (..., n/2)) — scipy's layout minus the
+    Nyquist bin (see :func:`power_spectrum`).  ``detrend="constant"``
+    subtracts the per-row mean (scipy default).
+    """
+    n = x.shape[-1]
+    w = get_window(window, n)
+    if detrend == "constant":
+        x = x - jnp.mean(x, axis=-1, keepdims=True)
+    elif detrend not in (False, None):
+        raise ValueError("detrend must be 'constant' or False")
+    pw = power_spectrum(x, window=w, backend=backend, precision=precision)
+    base, double = _spectral_scale(w, fs, scaling, n)
+    freqs = jnp.asarray(np.fft.rfftfreq(n, 1.0 / fs)[:n // 2]
+                        .astype(np.float32))
+    return freqs, _scale_onesided(pw, base, double)
+
+
+def _frame(x: jnp.ndarray, nperseg: int, hop: int) -> jnp.ndarray:
+    """(B, T) -> (B, F, nperseg) full frames (partial tail dropped);
+    one XLA gather, which downstream window multiplies fuse into."""
+    t = x.shape[-1]
+    if t < nperseg:
+        raise ValueError(f"signal length {t} < frame length {nperseg}")
+    frames = 1 + (t - nperseg) // hop
+    idx = (np.arange(frames)[:, None] * hop
+           + np.arange(nperseg)[None, :])
+    return x[..., idx]
+
+
+def welch(x: jnp.ndarray, fs: float = 1.0, window="hann",
+          nperseg: int = 1024, noverlap: int | None = None,
+          detrend: str | bool = "constant", scaling: str = "density",
+          backend: str = "auto", precision: str | None = None):
+    """scipy.signal.welch over the fused power kernel: mean of windowed
+    per-frame periodograms.  Returns (freqs (nperseg/2,),
+    Pxx (..., nperseg/2)) — scipy's layout minus the Nyquist bin."""
+    if noverlap is None:
+        noverlap = nperseg // 2
+    if not 0 <= noverlap < nperseg:
+        raise ValueError(f"noverlap={noverlap} must be in [0, {nperseg})")
+    fx = _frame(x, nperseg, nperseg - noverlap)
+    w = get_window(window, nperseg)
+    if detrend == "constant":
+        fx = fx - jnp.mean(fx, axis=-1, keepdims=True)
+    elif detrend not in (False, None):
+        raise ValueError("detrend must be 'constant' or False")
+    pw = power_spectrum(fx, window=w, backend=backend, precision=precision)
+    base, double = _spectral_scale(w, fs, scaling, nperseg)
+    freqs = jnp.asarray(np.fft.rfftfreq(nperseg, 1.0 / fs)[:nperseg // 2]
+                        .astype(np.float32))
+    return freqs, _scale_onesided(jnp.mean(pw, axis=-2), base, double)
+
+
+def spectrogram(x: jnp.ndarray, fs: float = 1.0, window="hann",
+                nperseg: int = 1024, noverlap: int | None = None,
+                scaling: str = "density", backend: str = "auto",
+                precision: str | None = None):
+    """Power spectrogram: per-frame scaled periodograms (Welch without
+    the mean).  Returns (freqs (nperseg/2,), times (F,),
+    Sxx (..., F, nperseg/2))."""
+    if noverlap is None:
+        noverlap = nperseg // 2
+    hop = nperseg - noverlap
+    fx = _frame(x, nperseg, hop)
+    w = get_window(window, nperseg)
+    fx = fx - jnp.mean(fx, axis=-1, keepdims=True)
+    pw = power_spectrum(fx, window=w, backend=backend, precision=precision)
+    base, double = _spectral_scale(w, fs, scaling, nperseg)
+    frames = fx.shape[-2]
+    times = jnp.asarray(((np.arange(frames) * hop + nperseg / 2) / fs)
+                        .astype(np.float32))
+    freqs = jnp.asarray(np.fft.rfftfreq(nperseg, 1.0 / fs)[:nperseg // 2]
+                        .astype(np.float32))
+    return freqs, times, _scale_onesided(pw, base, double)
+
+
+def stft(x: jnp.ndarray, n_fft: int = 1024, hop_length: int | None = None,
+         window="hann", backend: str = "auto",
+         precision: str | None = None) -> jnp.ndarray:
+    """Short-time Fourier transform: (..., T) real -> (..., F, n_fft/2+1)
+    complex (numpy rfft layout per frame, incl. the Nyquist bin).
+
+    Frames start at multiples of ``hop_length`` (default n_fft//4) with
+    no centering/padding — frame f covers samples
+    [f*hop, f*hop + n_fft).  The window multiply fuses into the framing
+    gather; each frame batch rides the fused r2c kernel.
+    """
+    from smfft_tpu import api
+
+    hop = hop_length or n_fft // 4
+    fx = _frame(x, n_fft, hop)
+    w = get_window(window, n_fft)
+    return api.rfft(fx * w, backend=backend, precision=precision)
+
+
+def istft(z: jnp.ndarray, n_fft: int = 1024,
+          hop_length: int | None = None, window="hann",
+          length: int | None = None, backend: str = "auto",
+          precision: str | None = None) -> jnp.ndarray:
+    """Inverse STFT by windowed overlap-add (least-squares inverse with
+    the same window; exact for COLA windows such as hann at hop
+    n_fft//4 or n_fft//2).
+
+    ``z``: (..., F, n_fft/2+1) complex frames from :func:`stft`.
+    Returns (..., T) real with T = (F-1)*hop + n_fft (or ``length``).
+    """
+    from smfft_tpu import api
+
+    hop = hop_length or n_fft // 4
+    w = get_window(window, n_fft)
+    frames = z.shape[-2]
+    t_full = (frames - 1) * hop + n_fft
+    y = api.irfft(z, n=n_fft, backend=backend,
+                  precision=precision) * w          # (..., F, n_fft)
+    # overlap-add via one scatter-add; window-square normalization
+    idx = (np.arange(frames)[:, None] * hop
+           + np.arange(n_fft)[None, :]).reshape(-1)
+    batch_shape = z.shape[:-2]
+    yf = y.reshape(batch_shape + (frames * n_fft,))
+    out = jnp.zeros(batch_shape + (t_full,), yf.dtype)
+    out = out.at[..., idx].add(yf)
+    wsq = np.zeros(t_full, np.float64)
+    np.add.at(wsq, idx, np.tile(np.asarray(w, np.float64) ** 2, frames))
+    out = out / jnp.asarray(np.maximum(wsq, 1e-12).astype(np.float32))
+    if length is not None:
+        out = out[..., :length]
+    return out
