@@ -929,9 +929,12 @@ _TUNED_TILES_ORDERED = {256: 1024, 512: 1024, 1024: 512, 2048: 128,
 
 # Ordered sizes served by the pencil-layout kernel (ops/pencil.py): the
 # in-VMEM relayout + pure-VPU ladder hides fully under the HBM stream
-# there (658/655 GB/s device-measured), while the c-row block slices of
-# tdot_rows are sub-sublane-granule for c < 8.
-_PENCIL_ORDERED = (256, 512)
+# there (658/655 GB/s device-measured at 256/512), while the c-row block
+# slices of tdot_rows are sub-sublane-granule for c < 8.  1024 rides it
+# too: the radix-8 ladder keeps the pencil at 644.6 GB/s vs tdot_rows'
+# 638.2 (device-timed); at n >= 2048 the ladder turns VPU-bound
+# (484.7/279.8 at 2048/4096) and tdot_rows wins.
+_PENCIL_ORDERED = (256, 512, 1024)
 
 
 def default_tile(n: int, ordered: bool = False) -> int:
