@@ -85,10 +85,10 @@ _TILES = {1024: 128, 2048: 128, 4096: 128, 8192: 128, 16384: 128}
 # C2R pair kernel form: "rows" = row-domain product recovery
 # (_build_irfft_pair2), "lanes" = lane-domain Hermitian assembly
 # (_build_irfft_pair); "auto" picks the device-measured winner per size
-# (v5e: rows 587/453 vs lanes 581/436 at 2048/16384; lanes 578/554 vs
-# rows 571/551 at 4096/8192 — the rows form's strided sublane unpack
-# costs what it saves in flips at mid sizes).  Tools force a form for
-# A/B timing.
+# (v5e, post roll-flip fold: lanes 617/587 vs rows 571/551 at
+# 4096/8192; rows 587/452 vs lanes 585/448 at 2048/16384 — the rows
+# form's strided sublane unpack costs what it saves in flips at mid
+# sizes).  Tools force a form for A/B timing.
 _IRFFT_PAIR = "auto"
 _IRFFT_FORM = {1024: ("rows", 128), 2048: ("rows", 256),
                4096: ("lanes", 128), 8192: ("lanes", 128),
@@ -631,11 +631,19 @@ def _build_irfft_pair(plan: P.FFTParams, tile_t: int, precision: str):
         uv = jnp.concatenate([u, v], axis=0)
         uvch = _chunks(uv, c // 2)
         nyquv = jnp.concatenate([nyqa, nyqb], axis=0)
+        # flip + the 1-lane carry shift folded into ONE roll-gather
+        # (idx = (128-j) % 128): lane j of the output chunk holds source
+        # lane 128-j for j >= 1 and lane 0 is patched from the carry —
+        # one gather + one 1-lane concat per chunk instead of a flip
+        # gather + a 127-lane concat (device-timed +33 GB/s at n=8192)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (2 * T, LANES), 1)
+        roll_idx = (LANES - lane_i) % LANES
         zhi_r, zhi_i = [], []
         for a in range(c // 2):
             lane0 = nyquv if a == 0 else uvch[c // 2 - a][:, 0:1]
-            f = _pc.flip_lanes(uvch[c // 2 - 1 - a])
-            zhi = jnp.concatenate([lane0, f[:, :127]], axis=1)
+            g = jnp.take_along_axis(uvch[c // 2 - 1 - a], roll_idx,
+                                    axis=1)
+            zhi = jnp.concatenate([lane0, g[:, 1:]], axis=1)
             zhi_r.append(zhi[:T])
             zhi_i.append(zhi[T:])
         z_r = jnp.concatenate([zlo_r] + zhi_r, axis=1)   # (T, n)
