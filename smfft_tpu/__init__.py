@@ -38,6 +38,8 @@ from smfft_tpu.api import (fft, ifft, ifft_unordered, rfft, irfft,
 from smfft_tpu.signal import (fftconvolve, get_window, power_spectrum,
                               periodogram, welch, spectrogram, stft,
                               istft)
+from smfft_tpu.ndim import (fft2, ifft2, fftn, ifftn, rfft2, irfft2,
+                            fftshift, ifftshift, fftfreq, rfftfreq)
 
 __version__ = "0.2.0"
 
@@ -62,4 +64,14 @@ __all__ = [
     "spectrogram",
     "stft",
     "istft",
+    "fft2",
+    "ifft2",
+    "fftn",
+    "ifftn",
+    "rfft2",
+    "irfft2",
+    "fftshift",
+    "ifftshift",
+    "fftfreq",
+    "rfftfreq",
 ]

@@ -1,0 +1,146 @@
+"""N-dimensional transforms and numpy-compatible spectral helpers.
+
+The reference is strictly 1-D batched (one FFT per CUDA block,
+SMFFT_CooleyTukey_C2C/FFT-GPU-32bit.cu:534-551); its home pipelines
+(Astro-Accelerate imaging/periodicity) compose 2-D transforms out of
+batched 1-D passes on the host.  Here that composition is a first-class
+API: an N-D transform is a sequence of batched 1-D passes over the last
+axis with XLA transposes between them — each pass is one fused Pallas
+kernel (single HBM pass), and XLA fuses the transposes into the
+surrounding data movement, so a 2-D FFT costs two streamed passes plus
+one relayout each way.
+
+Every axis length must be a supported 1-D size (the same static
+"Error wrong FFT length!" contract as the 1-D API).  Layouts and
+normalization follow numpy.fft exactly (rfft2/irfft2 transform the last
+axis with the real kernel and the remaining axes with C2C).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from smfft_tpu import api
+
+
+def _norm_axes(ndim: int, axes) -> tuple[int, ...]:
+    if axes is None:
+        axes = tuple(range(ndim))
+    elif isinstance(axes, int):
+        axes = (axes,)
+    out = tuple(a % ndim for a in axes)
+    if len(set(out)) != len(out):
+        raise ValueError(f"repeated axis in axes={axes}")
+    return out
+
+
+def _apply_last(x, ax: int, fn):
+    """Move axis ``ax`` last, apply ``fn``, move back (no-op moves when
+    ``ax`` already is the last axis)."""
+    nd = x.ndim
+    if ax == nd - 1:
+        return fn(x)
+    return jnp.swapaxes(fn(jnp.swapaxes(x, ax, nd - 1)), ax, nd - 1)
+
+
+def fftn(x: jnp.ndarray, axes=None, ordered: bool = True,
+         backend: api.Backend = "auto",
+         precision: str | None = None) -> jnp.ndarray:
+    """N-D forward C2C FFT over ``axes`` (default: all axes), numpy
+    ``fftn`` semantics.  Every transformed axis length must be a
+    supported 1-D size.  ``ordered=False`` is only meaningful for a
+    single transform axis (later passes need natural-order input)."""
+    axes = _norm_axes(x.ndim, axes)
+    if not ordered and len(axes) > 1:
+        raise ValueError("ordered=False requires a single transform axis")
+    for ax in axes:
+        x = _apply_last(x, ax, lambda v: api.fft(
+            v, ordered=ordered, backend=backend, precision=precision))
+    return x
+
+
+def ifftn(x: jnp.ndarray, axes=None, backend: api.Backend = "auto",
+          precision: str | None = None,
+          norm: str | None = "backward") -> jnp.ndarray:
+    """N-D inverse C2C FFT over ``axes`` (numpy ``ifftn``: each axis
+    divides by its length under ``norm="backward"``)."""
+    axes = _norm_axes(x.ndim, axes)
+    for ax in axes:
+        x = _apply_last(x, ax, lambda v: api.ifft(
+            v, backend=backend, precision=precision, norm=norm))
+    return x
+
+
+def fft2(x: jnp.ndarray, axes=(-2, -1), ordered: bool = True,
+         backend: api.Backend = "auto",
+         precision: str | None = None) -> jnp.ndarray:
+    """2-D forward C2C FFT (numpy ``fft2``)."""
+    return fftn(x, axes=axes, ordered=ordered, backend=backend,
+                precision=precision)
+
+
+def ifft2(x: jnp.ndarray, axes=(-2, -1), backend: api.Backend = "auto",
+          precision: str | None = None,
+          norm: str | None = "backward") -> jnp.ndarray:
+    """2-D inverse C2C FFT (numpy ``ifft2``)."""
+    return ifftn(x, axes=axes, backend=backend, precision=precision,
+                 norm=norm)
+
+
+def rfft2(x: jnp.ndarray, axes=(-2, -1), backend: api.Backend = "auto",
+          precision: str | None = None) -> jnp.ndarray:
+    """2-D R2C FFT (numpy ``rfft2``): real kernel over ``axes[-1]``
+    (half-spectrum output), C2C over the remaining axes."""
+    axes = _norm_axes(x.ndim, axes)
+    if axes[-1] != x.ndim - 1:
+        raise ValueError("rfft2 requires the last transform axis to be "
+                         "the last array axis (numpy applies rfft there)")
+    x = api.rfft(x, backend=backend, precision=precision)
+    for ax in axes[:-1]:
+        x = _apply_last(x, ax, lambda v: api.fft(
+            v, backend=backend, precision=precision))
+    return x
+
+
+def irfft2(x: jnp.ndarray, n: int | None = None, axes=(-2, -1),
+           backend: api.Backend = "auto", precision: str | None = None,
+           norm: str | None = "backward") -> jnp.ndarray:
+    """2-D C2R inverse FFT (numpy ``irfft2``): inverse C2C over the
+    leading transform axes, real inverse over the last."""
+    axes = _norm_axes(x.ndim, axes)
+    if axes[-1] != x.ndim - 1:
+        raise ValueError("irfft2 requires the last transform axis to be "
+                         "the last array axis")
+    for ax in axes[:-1]:
+        x = _apply_last(x, ax, lambda v: api.ifft(
+            v, backend=backend, precision=precision, norm=norm))
+    return api.irfft(x, n=n, backend=backend, precision=precision,
+                     norm=norm)
+
+
+# ---------------------------------------------------------------------------
+# numpy-compatible spectral helpers (host-computable, trivially jittable)
+# ---------------------------------------------------------------------------
+
+
+def fftshift(x: jnp.ndarray, axes=None) -> jnp.ndarray:
+    """numpy ``fftshift``: move the zero-frequency bin to the center."""
+    axes = _norm_axes(x.ndim, axes)
+    return jnp.fft.fftshift(x, axes=axes)
+
+
+def ifftshift(x: jnp.ndarray, axes=None) -> jnp.ndarray:
+    """numpy ``ifftshift``: undo :func:`fftshift`."""
+    axes = _norm_axes(x.ndim, axes)
+    return jnp.fft.ifftshift(x, axes=axes)
+
+
+def fftfreq(n: int, d: float = 1.0) -> jnp.ndarray:
+    """numpy ``fftfreq`` as fp32 (bin center frequencies)."""
+    return jnp.asarray(np.fft.fftfreq(n, d).astype(np.float32))
+
+
+def rfftfreq(n: int, d: float = 1.0) -> jnp.ndarray:
+    """numpy ``rfftfreq`` as fp32 (one-sided bin frequencies)."""
+    return jnp.asarray(np.fft.rfftfreq(n, d).astype(np.float32))

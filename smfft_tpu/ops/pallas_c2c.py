@@ -739,7 +739,13 @@ def _emit_ordered_tdot_rows(pre, pim, consts, precision):
 
 def _pack_rows(zs, c):
     """Interleave c (128, T) chunk products into (c*128, T) with row
-    p*c + k2 = packed row p of chunk k2 (one sublane stack)."""
+    p*c + k2 = packed row p of chunk k2 (one sublane stack).
+
+    (An explicit two-level form — stride-8 group interleaves + a
+    granule-aligned merge — was device-timed identical at every size:
+    XLA canonicalizes the stack/reshape chain back to this exact
+    lowering, so the stride-c stack IS the optimal known expression of
+    the merge; see tools/ordered_merge_ablation.py.)"""
     t = zs[0].shape[1]
     return jnp.stack(zs, axis=1).reshape(c * LANES, t)
 

@@ -1,0 +1,93 @@
+"""N-D transforms (smfft_tpu.ndim) vs the numpy.fft float64 oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from smfft_tpu import ndim
+
+
+def _tol(*ns):
+    return 2e-7 * float(np.prod([n ** 0.75 for n in ns])) * 8
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def test_fft2_matches_numpy(rng):
+    x = (rng.random((4, 128, 256)) + 1j * rng.random((4, 128, 256))
+         - 0.5 - 0.5j).astype(np.complex64)
+    got = np.asarray(ndim.fft2(jnp.asarray(x)))
+    want = np.fft.fft2(x.astype(np.complex128))
+    assert np.max(np.abs(got - want)) < _tol(128, 256) * np.sqrt(128 * 256)
+
+
+def test_ifft2_roundtrip(rng):
+    x = (rng.random((2, 64, 128)) + 1j * rng.random((2, 64, 128))
+         - 0.5 - 0.5j).astype(np.complex64)
+    y = ndim.ifft2(ndim.fft2(jnp.asarray(x)))
+    assert np.max(np.abs(np.asarray(y) - x)) < 1e-4
+
+
+def test_fftn_axes_subset(rng):
+    x = (rng.random((3, 64, 32)) + 1j * rng.random((3, 64, 32))
+         - 0.5 - 0.5j).astype(np.complex64)
+    got = np.asarray(ndim.fftn(jnp.asarray(x), axes=(1,)))
+    want = np.fft.fft(x.astype(np.complex128), axis=1)
+    assert np.max(np.abs(got - want)) < _tol(64) * 8
+
+
+def test_fftn_middle_axis_and_order(rng):
+    # transform over a non-contiguous axis pair; compare to numpy fftn
+    x = (rng.random((32, 4, 64)) + 1j * rng.random((32, 4, 64))
+         - 0.5 - 0.5j).astype(np.complex64)
+    got = np.asarray(ndim.fftn(jnp.asarray(x), axes=(0, 2)))
+    want = np.fft.fftn(x.astype(np.complex128), axes=(0, 2))
+    assert np.max(np.abs(got - want)) < _tol(32, 64) * np.sqrt(32 * 64)
+
+
+def test_rfft2_matches_numpy(rng):
+    x = (rng.random((64, 256)) - 0.5).astype(np.float32)
+    got = np.asarray(ndim.rfft2(jnp.asarray(x)))
+    want = np.fft.rfft2(x.astype(np.float64))
+    assert got.shape == want.shape == (64, 129)
+    assert np.max(np.abs(got - want)) < _tol(64, 256) * np.sqrt(64 * 256)
+
+
+def test_irfft2_roundtrip(rng):
+    x = (rng.random((32, 128)) - 0.5).astype(np.float32)
+    y = ndim.irfft2(ndim.rfft2(jnp.asarray(x)), n=128)
+    assert np.max(np.abs(np.asarray(y) - x)) < 1e-4
+
+
+def test_unsupported_axis_length_raises(rng):
+    x = jnp.zeros((5, 64), jnp.complex64)   # 5 is not a supported size
+    with pytest.raises(ValueError, match="wrong FFT length"):
+        ndim.fft2(x)
+
+
+def test_repeated_axes_raise():
+    x = jnp.zeros((32, 32), jnp.complex64)
+    with pytest.raises(ValueError, match="repeated axis"):
+        ndim.fftn(x, axes=(0, 0))
+
+
+def test_unordered_multi_axis_raises():
+    x = jnp.zeros((32, 32), jnp.complex64)
+    with pytest.raises(ValueError, match="single transform axis"):
+        ndim.fftn(x, ordered=False)
+
+
+def test_shift_and_freq_helpers():
+    x = jnp.arange(8.0)
+    assert np.array_equal(np.asarray(ndim.fftshift(x)),
+                          np.fft.fftshift(np.arange(8.0)))
+    assert np.array_equal(np.asarray(ndim.ifftshift(ndim.fftshift(x))),
+                          np.arange(8.0))
+    assert np.allclose(np.asarray(ndim.fftfreq(64, 0.5)),
+                       np.fft.fftfreq(64, 0.5))
+    assert np.allclose(np.asarray(ndim.rfftfreq(64, 2.0)),
+                       np.fft.rfftfreq(64, 2.0))
