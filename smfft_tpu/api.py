@@ -326,14 +326,20 @@ def irfft(x: jnp.ndarray, n: int | None = None, backend: Backend = "auto",
             # revblock conversion happens in-kernel (digit_swap_split),
             # so there is no XLA relayout pass
             L = n // 2
-            if packed:
-                pk = x
-            else:
-                head = jnp.real(x[..., :1]) + 1j * jnp.real(x[..., L:L + 1])
-                pk = jnp.concatenate([head, x[..., 1:L]], axis=-1)
             b = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+            # build the packed planar halves directly from real/imag —
+            # `f32 + 1j*f32` would lower to f32->c64 converts, which the
+            # axon TPU backend rejects (UNIMPLEMENTED at readback)
+            if packed:
+                pk_r = jnp.real(x).reshape(b, L)
+                pk_i = jnp.imag(x).reshape(b, L)
+            else:
+                xr = jnp.real(x).reshape(b, L + 1)
+                xi = jnp.imag(x).reshape(b, L + 1)
+                pk_r = xr[:, :L]
+                pk_i = jnp.concatenate([xr[:, L:L + 1], xi[:, 1:L]], axis=-1)
             out = pallas_real.irfft_fused_planar(
-                jnp.real(pk).reshape(b, L), jnp.imag(pk).reshape(b, L), n,
+                pk_r, pk_i, n,
                 precision=precision, in_natural=True,
             ).reshape(x.shape[:-1] + (n,))
         else:

@@ -1150,10 +1150,14 @@ def fft_planar(vr: jnp.ndarray, vi: jnp.ndarray, n: int,
                           ordered)
     if (plan.ordered and not rev_in and multiple_iters == 0
             and tile_t is None and n in _PENCIL_ORDERED
+            and (not _INTERPRET or n <= 512)
             and precision in ("highest", "high")):
         # the pencil ladder is pure fp32 VPU ("highest"-class); other
         # precision modes keep the matmul kernel so their bf16 MXU
-        # semantics are actually exercised
+        # semantics are actually exercised.  Interpret mode caps the
+        # route at n=512: the interpreter walks the n-plane ladder op
+        # by op (minutes at n=1024 under shard_map), and tdot_rows
+        # covers the same contract there.
         from smfft_tpu.ops import pencil
         return pencil.fft_pencil_planar(
             vr, vi, n, inverse=plan.direction == "inverse", scale=scale)

@@ -377,12 +377,16 @@ def rfft_pallas_fused(x: jnp.ndarray, precision: str = "highest",
     xb = x.reshape((-1, n))
     o_r, o_i = rfft_fused_planar(xb, precision=precision, ordered=True)
     L = n // 2
-    spec = jax.lax.complex(o_r, o_i).reshape(batch_shape + (L,))
     if packed:
-        return spec
-    dc = jnp.real(spec[..., :1]) + 0j
-    nyq = jnp.imag(spec[..., :1]) + 0j
-    return jnp.concatenate([dc, spec[..., 1:], nyq], axis=-1)
+        return jax.lax.complex(o_r, o_i).reshape(batch_shape + (L,))
+    # assemble the numpy (..., L+1) layout in PLANAR form and convert with
+    # ONE lax.complex at the end: an `f32 + 0j` here would lower to an
+    # f32->c64 convert_element_type, which the axon TPU backend rejects
+    # (UNIMPLEMENTED at readback)
+    zero = jnp.zeros_like(o_r[:, :1])
+    fr = jnp.concatenate([o_r[:, :1], o_r[:, 1:], o_i[:, :1]], axis=-1)
+    fi = jnp.concatenate([zero, o_i[:, 1:], zero], axis=-1)
+    return jax.lax.complex(fr, fi).reshape(batch_shape + (L + 1,))
 
 
 # ---------------------------------------------------------------------------
