@@ -1,0 +1,191 @@
+"""Discrete cosine/sine transforms (types II and III) over the real FFT
+kernels.
+
+scipy.fft-compatible ``dct``/``idct``/``dst``/``idst`` for the workhorse
+types 2 and 3 (scipy's defaults; type 3 is type 2's unnormalized
+transpose).  The classic O(n log n) reduction (Makhoul 1980): a DCT-II
+of length n is an n-point real FFT of the even/odd-reordered sequence
+followed by a quarter-wave twiddle —
+
+    v = [x_0, x_2, ..., x_{n-2}, x_{n-1}, ..., x_3, x_1]
+    X_k = 2 * Re( e^{-i pi k / 2n} * V_k ),   V = FFT(v)
+
+so the hot path is ONE fused R2C Pallas pass plus an elementwise
+twiddle that XLA fuses; DCT-III runs the same recipe backwards through
+the fused C2R kernel (solve V_k from the X_k / X_{n-k} pair, inverse
+real FFT, un-reorder).  DST-II/III ride the exact identity
+DST-II(x)_k = DCT-II(sx)_{n-1-k} with (sx)_j = (-1)^j x_j.
+
+Transform lengths follow the real-kernel contract (powers of two in the
+supported table).  ``norm=None`` (scipy raw scaling) and
+``norm="ortho"`` (orthonormal) are supported; scipy.fft round-trip
+semantics (``idct(dct(x)) == x``) hold for both.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smfft_tpu import api
+from smfft_tpu import params as P
+
+
+def _check_n(n: int):
+    if n not in P.SUPPORTED_REAL_SIZES:
+        raise ValueError(
+            f"Error wrong FFT length! N={n}; supported: "
+            f"{P.SUPPORTED_REAL_SIZES}")
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddles(n: int):
+    """fp64-exact quarter-wave rows, fp32-rounded: cos/sin of
+    pi*k/(2n) for k = 0..n/2."""
+    k = np.arange(n // 2 + 1, dtype=np.float64)
+    th = np.pi * k / (2.0 * n)
+    return (np.cos(th).astype(np.float32), np.sin(th).astype(np.float32))
+
+
+def _ortho_scale(n: int, last: bool = False) -> np.ndarray:
+    """Orthonormalization row: sqrt(1/2n) everywhere, sqrt(1/4n) at
+    index 0 (DCT) or n-1 (DST, ``last=True``)."""
+    s = np.full(n, np.sqrt(1.0 / (2.0 * n)), np.float32)
+    s[n - 1 if last else 0] = np.float32(np.sqrt(1.0 / (4.0 * n)))
+    return s
+
+
+def _dct2_raw(x, backend, precision):
+    """scipy dct type 2, norm=None: X_k = 2 sum x_j cos(pi k(2j+1)/2n)."""
+    n = x.shape[-1]
+    h = n // 2
+    v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]], axis=-1)
+    spec = api.rfft(v.astype(jnp.float32), backend=backend,
+                    precision=precision)
+    vr, vi = jnp.real(spec), jnp.imag(spec)
+    c, s = (jnp.asarray(a) for a in _twiddles(n))
+    # k = 0..h: X_k = 2 (Vr cos + Vi sin)
+    lo = 2.0 * (vr * c + vi * s)
+    # k = h+1..n-1 via the Hermitian mirror m = n-k = h-1..1:
+    # X_{n-m} = 2 (Vr_m sin - Vi_m cos)
+    hi = 2.0 * (vr[..., 1:h] * s[1:h] - vi[..., 1:h] * c[1:h])
+    return jnp.concatenate([lo, hi[..., ::-1]], axis=-1)
+
+
+def _dct3_raw(x, backend, precision):
+    """scipy dct type 3, norm=None:
+    X_j = x_0 + 2 sum_{k>=1} x_k cos(pi k(2j+1)/2n)  ( = 2n * the exact
+    inverse of _dct2_raw).  Solves the one-sided spectrum from the
+    (x_k, x_{n-k}) pairs and runs the fused inverse real FFT."""
+    n = x.shape[-1]
+    h = n // 2
+    c, s = (jnp.asarray(a) for a in _twiddles(n))
+    xk = x[..., 1:h]
+    xnk = x[..., n - 1:h:-1]                 # x_{n-k}, k = 1..h-1
+    vr = 0.5 * (xk * c[1:h] + xnk * s[1:h])
+    vi = 0.5 * (xk * s[1:h] - xnk * c[1:h])
+    v0 = 0.5 * x[..., 0:1]
+    nyq = x[..., h:h + 1] * np.float32(0.5 * np.sqrt(2.0))
+    spec = jax.lax.complex(
+        jnp.concatenate([v0, vr, nyq], axis=-1).astype(jnp.float32),
+        jnp.concatenate([jnp.zeros_like(v0), vi,
+                         jnp.zeros_like(nyq)], axis=-1).astype(
+            jnp.float32))
+    v = api.irfft(spec, n=n, backend=backend, precision=precision,
+                  norm="backward")           # exact inverse DFT
+    evens, odds = v[..., :h], v[..., h:][..., ::-1]
+    out = jnp.stack([evens, odds], axis=-1).reshape(x.shape)
+    return out * np.float32(2.0 * n)
+
+
+def _signs(n: int) -> jnp.ndarray:
+    return jnp.asarray(((-1.0) ** np.arange(n)).astype(np.float32))
+
+
+def dct(x: jnp.ndarray, type: int = 2, norm: str | None = None,
+        backend: api.Backend = "auto",
+        precision: str | None = None) -> jnp.ndarray:
+    """DCT over the last axis (scipy.fft.dct, types 2 and 3)."""
+    n = x.shape[-1]
+    _check_n(n)
+    if type == 2:
+        out = _dct2_raw(x, backend, precision)
+        if norm == "ortho":
+            out = out * jnp.asarray(_ortho_scale(n))
+        return out
+    if type == 3:
+        if norm == "ortho":
+            # ortho DCT-III = (ortho DCT-II)^T = _dct3_raw with input
+            # columns scaled by [sqrt(1/n), sqrt(1/2n), ...]
+            w = np.full(n, np.sqrt(1.0 / (2.0 * n)), np.float32)
+            w[0] = np.float32(np.sqrt(1.0 / n))
+            x = x * jnp.asarray(w)
+        return _dct3_raw(x, backend, precision)
+    raise ValueError(f"dct type {type} not supported (types 2 and 3)")
+
+
+def idct(x: jnp.ndarray, type: int = 2, norm: str | None = None,
+         backend: api.Backend = "auto",
+         precision: str | None = None) -> jnp.ndarray:
+    """Inverse DCT (scipy.fft.idct): ``idct(dct(x, type=t, norm=m),
+    type=t, norm=m) == x`` for both norms and both types."""
+    n = x.shape[-1]
+    _check_n(n)
+    if type == 2:
+        if norm == "ortho":
+            return dct(x, type=3, norm="ortho", backend=backend,
+                       precision=precision)
+        return _dct3_raw(x, backend, precision) / np.float32(2.0 * n)
+    if type == 3:
+        if norm == "ortho":
+            return dct(x, type=2, norm="ortho", backend=backend,
+                       precision=precision)
+        return _dct2_raw(x, backend, precision) / np.float32(2.0 * n)
+    raise ValueError(f"idct type {type} not supported (types 2 and 3)")
+
+
+def dst(x: jnp.ndarray, type: int = 2, norm: str | None = None,
+        backend: api.Backend = "auto",
+        precision: str | None = None) -> jnp.ndarray:
+    """DST over the last axis (scipy.fft.dst, types 2 and 3) via
+    DST-II(x)_k = DCT-II(sx)_{n-1-k}, (sx)_j = (-1)^j x_j."""
+    n = x.shape[-1]
+    _check_n(n)
+    if type == 2:
+        out = _dct2_raw(x * _signs(n), backend, precision)[..., ::-1]
+        if norm == "ortho":
+            out = out * jnp.asarray(_ortho_scale(n, last=True))
+        return out
+    if type == 3:
+        # transpose identity: DST-III(x)_j = (-1)^j DCT-III(rx)_j,
+        # rx = x reversed
+        if norm == "ortho":
+            w = np.full(n, np.sqrt(1.0 / (2.0 * n)), np.float32)
+            w[n - 1] = np.float32(np.sqrt(1.0 / n))
+            x = x * jnp.asarray(w)
+        return _dct3_raw(x[..., ::-1], backend, precision) * _signs(n)
+    raise ValueError(f"dst type {type} not supported (types 2 and 3)")
+
+
+def idst(x: jnp.ndarray, type: int = 2, norm: str | None = None,
+         backend: api.Backend = "auto",
+         precision: str | None = None) -> jnp.ndarray:
+    """Inverse DST (scipy.fft.idst round-trip semantics)."""
+    n = x.shape[-1]
+    _check_n(n)
+    if type == 2:
+        if norm == "ortho":
+            return dst(x, type=3, norm="ortho", backend=backend,
+                       precision=precision)
+        return (_dct3_raw(x[..., ::-1], backend, precision)
+                * _signs(n)) / np.float32(2.0 * n)
+    if type == 3:
+        if norm == "ortho":
+            return dst(x, type=2, norm="ortho", backend=backend,
+                       precision=precision)
+        return (_dct2_raw(x * _signs(n), backend,
+                          precision)[..., ::-1]) / np.float32(2.0 * n)
+    raise ValueError(f"idst type {type} not supported (types 2 and 3)")

@@ -1,0 +1,118 @@
+"""DCT/DST (smfft_tpu.dct) vs direct O(n^2) float64 oracles
+(scipy.fft definitions, types 2 and 3, norm=None and "ortho")."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import sys
+
+import smfft_tpu.dct  # noqa: F401 — the package re-exports shadow the module
+D = sys.modules["smfft_tpu.dct"]
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def oracle_dct2(x):
+    n = x.shape[-1]
+    j = np.arange(n)
+    M = 2.0 * np.cos(np.pi * np.outer(np.arange(n), 2 * j + 1) / (2 * n))
+    return x.astype(np.float64) @ M.T
+
+
+def oracle_dct3(x):
+    n = x.shape[-1]
+    k = np.arange(n)
+    M = 2.0 * np.cos(np.pi * np.outer(2 * np.arange(n) + 1, k) / (2 * n))
+    M[:, 0] = 1.0
+    return x.astype(np.float64) @ M.T
+
+
+def oracle_dst2(x):
+    n = x.shape[-1]
+    j = np.arange(n)
+    M = 2.0 * np.sin(np.pi * np.outer(np.arange(n) + 1, 2 * j + 1)
+                     / (2 * n))
+    return x.astype(np.float64) @ M.T
+
+
+def oracle_dst3(x):
+    n = x.shape[-1]
+    k = np.arange(n - 1)
+    out = np.empty(x.shape, np.float64)
+    for jj in range(n):
+        out[..., jj] = ((-1.0) ** jj * x[..., n - 1]
+                        + 2.0 * np.sum(
+            x[..., :n - 1].astype(np.float64)
+            * np.sin(np.pi * (k + 1) * (2 * jj + 1) / (2 * n)), axis=-1))
+    return out
+
+
+@pytest.mark.parametrize("n", [64, 256])
+def test_dct2_matches_oracle(rng, n):
+    x = (rng.random((3, n)) - 0.5).astype(np.float32)
+    got = np.asarray(D.dct(jnp.asarray(x), type=2))
+    assert np.max(np.abs(got - oracle_dct2(x))) < 1e-3 * np.sqrt(n)
+
+
+@pytest.mark.parametrize("n", [64, 256])
+def test_dct3_matches_oracle(rng, n):
+    x = (rng.random((3, n)) - 0.5).astype(np.float32)
+    got = np.asarray(D.dct(jnp.asarray(x), type=3))
+    assert np.max(np.abs(got - oracle_dct3(x))) < 1e-3 * np.sqrt(n)
+
+
+@pytest.mark.parametrize("n", [64, 256])
+def test_dst2_matches_oracle(rng, n):
+    x = (rng.random((3, n)) - 0.5).astype(np.float32)
+    got = np.asarray(D.dst(jnp.asarray(x), type=2))
+    assert np.max(np.abs(got - oracle_dst2(x))) < 1e-3 * np.sqrt(n)
+
+
+@pytest.mark.parametrize("n", [64, 256])
+def test_dst3_matches_oracle(rng, n):
+    x = (rng.random((3, n)) - 0.5).astype(np.float32)
+    got = np.asarray(D.dst(jnp.asarray(x), type=3))
+    assert np.max(np.abs(got - oracle_dst3(x))) < 1e-3 * np.sqrt(n)
+
+
+@pytest.mark.parametrize("type", [2, 3])
+@pytest.mark.parametrize("norm", [None, "ortho"])
+def test_dct_roundtrip(rng, type, norm):
+    x = (rng.random((4, 512)) - 0.5).astype(np.float32)
+    y = D.idct(D.dct(jnp.asarray(x), type=type, norm=norm),
+               type=type, norm=norm)
+    assert np.max(np.abs(np.asarray(y) - x)) < 1e-4
+
+
+@pytest.mark.parametrize("type", [2, 3])
+@pytest.mark.parametrize("norm", [None, "ortho"])
+def test_dst_roundtrip(rng, type, norm):
+    x = (rng.random((4, 512)) - 0.5).astype(np.float32)
+    y = D.idst(D.dst(jnp.asarray(x), type=type, norm=norm),
+               type=type, norm=norm)
+    assert np.max(np.abs(np.asarray(y) - x)) < 1e-4
+
+
+def test_dct2_ortho_is_orthonormal(rng):
+    # rows of the ortho DCT-II matrix are orthonormal: Parseval
+    x = (rng.random((8, 256)) - 0.5).astype(np.float32)
+    y = np.asarray(D.dct(jnp.asarray(x), type=2, norm="ortho"))
+    assert np.allclose(np.sum(y * y, -1), np.sum(x * x, -1), rtol=1e-4)
+
+
+def test_dst2_ortho_is_orthonormal(rng):
+    x = (rng.random((8, 256)) - 0.5).astype(np.float32)
+    y = np.asarray(D.dst(jnp.asarray(x), type=2, norm="ortho"))
+    assert np.allclose(np.sum(y * y, -1), np.sum(x * x, -1), rtol=1e-4)
+
+
+def test_bad_type_and_length():
+    with pytest.raises(ValueError, match="type"):
+        D.dct(jnp.zeros((2, 256)), type=1)
+    with pytest.raises(ValueError, match="wrong FFT length"):
+        D.dct(jnp.zeros((2, 100)))
