@@ -40,6 +40,11 @@ from smfft_tpu.signal import (fftconvolve, get_window, power_spectrum,
                               istft)
 from smfft_tpu.ndim import (fft2, ifft2, fftn, ifftn, rfft2, irfft2,
                             fftshift, ifftshift, fftfreq, rfftfreq)
+from smfft_tpu.bluestein import (fft_any, ifft_any, rfft_any, irfft_any,
+                                 czt)
+from smfft_tpu.dct import dct, idct, dst, idst
+from smfft_tpu.signal import (oaconvolve, fftcorrelate, hilbert, envelope,
+                              resample)
 
 __version__ = "0.2.0"
 
@@ -74,4 +79,18 @@ __all__ = [
     "ifftshift",
     "fftfreq",
     "rfftfreq",
+    "fft_any",
+    "ifft_any",
+    "czt",
+    "rfft_any",
+    "irfft_any",
+    "oaconvolve",
+    "fftcorrelate",
+    "hilbert",
+    "envelope",
+    "resample",
+    "dct",
+    "idct",
+    "dst",
+    "idst",
 ]

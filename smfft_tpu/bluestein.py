@@ -30,6 +30,7 @@ import numpy as np
 
 from smfft_tpu import api
 from smfft_tpu import params as P
+from smfft_tpu.utils.transfer import as_complex64
 
 _MAX_M = max(P.SUPPORTED_C2C_SIZES)
 
@@ -71,7 +72,7 @@ def fft_any(x: jnp.ndarray, backend: api.Backend = "auto",
     everything else runs Bluestein on the fused convolution kernel."""
     n = x.shape[-1]
     if n == 1:
-        return x.astype(jnp.complex64)
+        return as_complex64(x)
     if n in P.SUPPORTED_C2C_SIZES:
         return api.fft(x, backend=backend, precision=precision)
     backend_r = api._resolve_backend(backend)
@@ -83,7 +84,7 @@ def fft_any(x: jnp.ndarray, backend: api.Backend = "auto",
         m = _conv_length(2 * n - 1)
         np_ = chirp._n_pad(n)
         batch = x.shape[:-1]
-        x2 = x.astype(jnp.complex64).reshape(-1, n)
+        x2 = as_complex64(x).reshape(-1, n)
         lane_pad = [(0, 0), (0, np_ - n)]
         vr = jnp.pad(jnp.real(x2), lane_pad)
         vi = jnp.pad(jnp.imag(x2), lane_pad)
@@ -92,7 +93,7 @@ def fft_any(x: jnp.ndarray, backend: api.Backend = "auto",
             batch + (n,))
     m, w, fb = _bluestein_consts(n)
     w, fb = jnp.asarray(w), jnp.asarray(fb)
-    a = x.astype(jnp.complex64) * w
+    a = as_complex64(x) * w
     pad = [(0, 0)] * (x.ndim - 1) + [(0, m - n)]
     a = jnp.pad(a, pad)
     conv = api.convolve(a, fb, backend=backend, precision=precision)
@@ -107,6 +108,61 @@ def ifft_any(x: jnp.ndarray, backend: api.Backend = "auto",
     n = x.shape[-1]
     out = jnp.conj(fft_any(jnp.conj(x), backend=backend,
                            precision=precision))
+    if norm == "backward":
+        out = out / n
+    return out
+
+
+def rfft_any(x: jnp.ndarray, backend: api.Backend = "auto",
+             precision: str | None = None) -> jnp.ndarray:
+    """R2C FFT at ANY length 1 <= n <= 8192: real (..., n) -> complex
+    (..., n//2 + 1), numpy ``rfft`` layout.
+
+    Supported power-of-two sizes >= 32 dispatch to the fused real kernel
+    (:func:`smfft_tpu.api.rfft`, half the HBM traffic); everything else
+    runs the Bluestein chirp-z path and slices the one-sided half."""
+    n = x.shape[-1]
+    if jnp.iscomplexobj(x):
+        raise ValueError("rfft_any expects real input rows")
+    if n in P.SUPPORTED_REAL_SIZES:
+        return api.rfft(x, backend=backend, precision=precision)
+    spec = fft_any(x, backend=backend, precision=precision)
+    return spec[..., :n // 2 + 1]
+
+
+def irfft_any(x: jnp.ndarray, n: int | None = None,
+              backend: api.Backend = "auto",
+              precision: str | None = None,
+              norm: str | None = "backward") -> jnp.ndarray:
+    """C2R inverse FFT at ANY length: one-sided (..., n//2 + 1) complex
+    -> real (..., n), numpy ``irfft`` semantics (``n`` defaults to
+    2*(last-1); ``norm="backward"`` divides by n).
+
+    Supported power-of-two sizes dispatch to the fused C2R kernel; other
+    lengths rebuild the Hermitian spectrum (one host-built gather + a
+    conjugation mask) and ride the Bluestein inverse."""
+    if n is None:
+        n = (x.shape[-1] - 1) * 2
+    if n in P.SUPPORTED_REAL_SIZES:
+        return api.irfft(x[..., :n // 2 + 1], n=n, backend=backend,
+                         precision=precision, norm=norm)
+    h = n // 2
+    need = h + 1
+    if x.shape[-1] < need:
+        raise ValueError(f"spectrum has {x.shape[-1]} bins < {need} "
+                         f"needed for n={n}")
+    half = x[..., :need]
+    # full spectrum: [X_0 .. X_h, conj(X_{n-need}) .. conj(X_1)]
+    src = np.zeros(n, np.int64)
+    src[:need] = np.arange(need)
+    src[need:] = np.arange(n - need, 0, -1)
+    sign = np.ones(n, np.float32)
+    sign[need:] = -1.0                   # conjugate the mirrored half
+    full = half[..., jnp.asarray(src)]
+    full = jax.lax.complex(jnp.real(full),
+                           jnp.imag(full) * jnp.asarray(sign))
+    out = jnp.real(ifft_any(full, backend=backend, precision=precision,
+                            norm=None))
     if norm == "backward":
         out = out / n
     return out
@@ -150,7 +206,7 @@ def czt(x: jnp.ndarray, m: int | None = None, w: complex | None = None,
     if w is None:
         w = np.exp(-2j * np.pi / m)
     L, in_chirp, fv, out_chirp = _czt_consts(n, m, complex(w), complex(a))
-    sig = x.astype(jnp.complex64) * jnp.asarray(in_chirp)
+    sig = as_complex64(x) * jnp.asarray(in_chirp)
     pad = [(0, 0)] * (x.ndim - 1) + [(0, L - n)]
     conv = api.convolve(jnp.pad(sig, pad), jnp.asarray(fv),
                         backend=backend, precision=precision)

@@ -16,6 +16,7 @@ stitched back (one reshape + slice).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -107,9 +108,129 @@ def fftconvolve(x: jnp.ndarray, h: jnp.ndarray, mode: str = "full",
 
 
 def _pad_taps(h: jnp.ndarray, n: int, real: bool) -> jnp.ndarray:
-    dt = jnp.float32 if real else jnp.complex64
+    if real:
+        return jnp.concatenate(
+            [h.astype(jnp.float32),
+             jnp.zeros((n - h.shape[-1],), jnp.float32)])[None, :]
+    from smfft_tpu.utils.transfer import as_complex64
+    hc = as_complex64(h)
     return jnp.concatenate(
-        [h.astype(dt), jnp.zeros((n - h.shape[-1],), dt)])[None, :]
+        [hc, jnp.zeros((n - h.shape[-1],), jnp.complex64)])[None, :]
+
+
+#: scipy.signal.fftconvolve and scipy.signal.oaconvolve agree for 1-D
+#: inputs; the overlap-save framing above covers both names.
+oaconvolve = fftconvolve
+
+
+def fftcorrelate(x: jnp.ndarray, h: jnp.ndarray, mode: str = "full",
+                 n_fft: int | None = None, backend: str = "auto",
+                 precision: str | None = None) -> jnp.ndarray:
+    """Linear cross-correlation (scipy.signal.correlate semantics,
+    ``method="fft"``): ``correlate(x, h) = convolve(x, conj(h[::-1]))``
+    — rides the same overlap-save fused kernel as :func:`fftconvolve`.
+
+    ``mode="same"`` matches scipy (centered on the x grid); "valid"
+    requires ``len(x) >= len(h)``.
+    """
+    hr = jnp.conj(h[..., ::-1]) if jnp.iscomplexobj(h) else h[..., ::-1]
+    y = fftconvolve(x, hr, mode="full", n_fft=n_fft, backend=backend,
+                    precision=precision)
+    k = int(h.shape[-1])
+    t = x.shape[-1]
+    if mode == "full":
+        return y
+    if mode == "same":
+        start = (k - 1) // 2
+        return y[..., start:start + t]
+    if mode == "valid":
+        return y[..., k - 1:t]
+    raise ValueError(f"mode must be full|same|valid, got {mode!r}")
+
+
+def hilbert(x: jnp.ndarray, backend: str = "auto",
+            precision: str | None = None) -> jnp.ndarray:
+    """Analytic signal of real rows (scipy.signal.hilbert): complex
+    (..., n) whose real part is ``x`` and imaginary part its Hilbert
+    transform.
+
+    The one-sided spectral mask [1, 2, ..., 2, 1, 0, ..., 0] is a
+    frequency response, so on TPU the whole transform runs as ONE fused
+    FFT -> mask -> iFFT kernel pass (:func:`smfft_tpu.api.convolve`) —
+    the same single-HBM-pass composition the reference builds from its
+    ``__device__`` cores (reference README.md:10,30-33).
+    """
+    from smfft_tpu import api
+    from smfft_tpu.utils.transfer import as_complex64
+
+    n = x.shape[-1]
+    if n not in P.SUPPORTED_C2C_SIZES:
+        raise ValueError(f"Error wrong FFT length! N={n}; supported: "
+                         f"{P.SUPPORTED_C2C_SIZES}")
+    if jnp.iscomplexobj(x):
+        raise ValueError("hilbert expects real input rows")
+    mask = np.zeros(n, np.float32)
+    mask[0] = 1.0
+    mask[1:n // 2] = 2.0
+    mask[n // 2] = 1.0
+    h = jax.lax.complex(jnp.asarray(mask), jnp.zeros((n,), jnp.float32))
+    return api.convolve(as_complex64(x), h, backend=backend,
+                        precision=precision)
+
+
+def envelope(x: jnp.ndarray, backend: str = "auto",
+             precision: str | None = None) -> jnp.ndarray:
+    """Amplitude envelope ``|hilbert(x)|`` of real rows (fp32)."""
+    return jnp.abs(hilbert(x, backend=backend, precision=precision))
+
+
+def resample(x: jnp.ndarray, num: int, axis: int = -1,
+             backend: str = "auto",
+             precision: str | None = None) -> jnp.ndarray:
+    """Fourier-domain resampling (scipy.signal.resample) of real or
+    complex rows from n to ``num`` samples along ``axis``.
+
+    Both lengths may be ANY size 1..8192 — supported powers of two ride
+    the fused kernels directly, everything else the fused Bluestein path
+    (:func:`smfft_tpu.bluestein.fft_any`).  scipy's band-limited
+    interpolation semantics: truncate or zero-pad the centered spectrum,
+    halve the split Nyquist bin, scale by num/n.
+    """
+    from smfft_tpu.bluestein import fft_any, ifft_any
+    from smfft_tpu.utils.transfer import as_complex64
+
+    if axis != -1 and axis != x.ndim - 1:
+        x = jnp.swapaxes(x, axis, -1)
+    n = x.shape[-1]
+    was_real = not jnp.iscomplexobj(x)
+    spec = fft_any(as_complex64(x), backend=backend, precision=precision)
+    m = min(n, num)
+    m2 = m // 2 + 1
+    # centered spectrum surgery as one (num,) gather + scale mask
+    # (host-built, exactly scipy's two-sided path): out bin k takes in
+    # bin src[k] scaled by w[k]
+    src = np.zeros(num, np.int64)
+    w = np.zeros(num, np.float32)
+    src[:m2] = np.arange(m2)
+    w[:m2] = 1.0
+    if m2 < m:                           # negative-frequency block
+        src[num - (m - m2):] = np.arange(n - (m - m2), n)
+        w[num - (m - m2):] = 1.0
+    fold = m % 2 == 0 and num < n       # unpaired bin at m//2
+    if m % 2 == 0 and n < num:          # upsample: split the bin
+        w[m // 2] = 0.5
+        src[num - m // 2] = m // 2
+        w[num - m // 2] = 0.5
+    out = spec[..., jnp.asarray(src)] * jnp.asarray(w)
+    if fold:
+        # downsample: unite the +/- pair into the new Nyquist bin
+        out = out.at[..., m // 2].add(spec[..., n - m // 2])
+    y = ifft_any(out, backend=backend, precision=precision,
+                 norm=None) * np.float32(1.0 / n)
+    y = jnp.real(y) if was_real else y
+    if axis != -1 and axis != x.ndim - 1:
+        y = jnp.swapaxes(y, axis, -1)
+    return y
 
 
 # ---------------------------------------------------------------------------

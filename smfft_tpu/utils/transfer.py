@@ -55,3 +55,15 @@ def to_device_real(x: np.ndarray, device=None) -> jax.Array:
     if device is not None:
         arr = jax.device_put(arr, device)
     return arr
+
+
+def as_complex64(x: jnp.ndarray) -> jnp.ndarray:
+    """Promote to complex64 without an eager real->complex
+    convert_element_type, which the axon TPU backend rejects
+    (UNIMPLEMENTED at readback).  ``lax.complex`` of (x, 0) is the one
+    promotion path proven to work on that backend; complex input passes
+    through (with a c64 cast only when already complex128)."""
+    if jnp.iscomplexobj(x):
+        return x if x.dtype == jnp.complex64 else x.astype(jnp.complex64)
+    xr = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+    return jax.lax.complex(xr, jnp.zeros_like(xr))
