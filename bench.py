@@ -196,6 +196,30 @@ def main():
                     float(force(out))
                 measure("convolve[real]", "convolve_real_gbs", f_rconv,
                         rows_n * n * 8)
+
+                # fused one-pass power spectrum (ops/spectral.py):
+                # |rfft|^2 with the square inside the kernel — 6 HBM
+                # bytes per real sample (4 in + 2 out)
+                from smfft_tpu.ops import spectral as SPB
+
+                def f_pow():
+                    out = SPB.power_pencil_planar(x_real, n)
+                    float(force(out))
+                measure("power   ", "power_gbs", f_pow, rows_n * n * 6)
+
+                # fused Bluestein (ops/chirp.py): arbitrary length
+                # n=1000 rides an m=2048 in-VMEM convolution; useful
+                # bytes = 1000 complex in + out per row
+                from smfft_tpu.ops import chirp as CHB
+                nb = 1000
+                bl_r = devdata(rows_n, 1024, 11 * n)
+                bl_i = devdata(rows_n, 1024, 11 * n + 1)
+
+                def f_blu():
+                    out = CHB.bluestein_planar(bl_r, bl_i, nb, 2048)
+                    float(force(out[0]))
+                measure("bluestein[n=1000]", "bluestein_n1000_gbs",
+                        f_blu, rows_n * nb * 16)
         if flags.multiple:
             # multiple: one kernel with MULT_ITERS in-VMEM
             # re-applications per tile (single HBM pass bracketing),

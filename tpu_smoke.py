@@ -294,6 +294,125 @@ def main():
 
     guarded("fftconvolve", fftconvolve_check)
 
+    def power_check(n):
+        from smfft_tpu.ops import spectral as SP
+        x = (rng.random((256, n)) * 2 - 1).astype(np.float32)
+        w = np.hanning(n + 1)[:n].astype(np.float32)
+        out = np.asarray(SP.power_pencil_planar(
+            jnp.array(x), n, window=jnp.array(w)))
+        spec = np.fft.rfft(x.astype(np.float64) * w)
+        ref = np.abs(spec[:, :n // 2]) ** 2
+        ref[:, 0] = spec[:, 0].real ** 2
+        check(f"fused power n={n}",
+              np.max(np.abs(out - ref)) / max(1.0, np.max(ref)),
+              tol(n, "highest"))
+
+    for n in (512, 2048):
+        guarded(f"fused power n={n}", lambda n=n: power_check(n))
+
+    def bluestein_check(n):
+        from smfft_tpu.ops import chirp as CH
+        m = max(32, 1 << (2 * n - 2).bit_length())
+        np_pad = CH._n_pad(n)
+        x = (rng.random((64, n)) * 2 - 1
+             + 1j * (rng.random((64, n)) * 2 - 1)).astype(np.complex64)
+        vr = np.zeros((64, np_pad), np.float32)
+        vi = np.zeros((64, np_pad), np.float32)
+        vr[:, :n], vi[:, :n] = x.real, x.imag
+        o_r, o_i = CH.bluestein_planar(jnp.array(vr), jnp.array(vi), n, m)
+        got = np.asarray(o_r)[:, :n] + 1j * np.asarray(o_i)[:, :n]
+        ref = np.fft.fft(x.astype(np.complex128))
+        check(f"fused bluestein n={n}", np.max(np.abs(got - ref)),
+              tol(m, "highest") * 4)
+
+    for n in (100, 1000):
+        guarded(f"bluestein n={n}", lambda n=n: bluestein_check(n))
+
+    def dct_check(n):
+        import sys as _sys
+        import smfft_tpu.dct  # noqa: F401
+        D = _sys.modules["smfft_tpu.dct"]
+        x = (rng.random((16, n)) * 2 - 1).astype(np.float32)
+        got = np.asarray(D.dct(jnp.array(x), type=2))
+        j = np.arange(n)
+        M = 2.0 * np.cos(np.pi * np.outer(j, 2 * j + 1) / (2 * n))
+        ref = x.astype(np.float64) @ M.T
+        check(f"dct2 n={n}", np.max(np.abs(got - ref)) / np.sqrt(n),
+              tol(n, "highest") * 4)
+        rt = np.asarray(D.idct(D.dct(jnp.array(x), norm="ortho"),
+                               norm="ortho"))
+        check(f"dct roundtrip n={n}", np.max(np.abs(rt - x)),
+              tol(n, "highest"))
+
+    for n in (256, 1024):
+        guarded(f"dct n={n}", lambda n=n: dct_check(n))
+
+    def hilbert_check():
+        n = 1024
+        x = (rng.random((32, n)) * 2 - 1).astype(np.float32)
+        from smfft_tpu.utils.transfer import from_device_complex
+        got = from_device_complex(S.hilbert(jnp.array(x)))
+        spec = np.fft.fft(x.astype(np.float64))
+        m = np.zeros(n)
+        m[0] = 1.0
+        m[1:n // 2] = 2.0
+        m[n // 2] = 1.0
+        ref = np.fft.ifft(spec * m)
+        check("hilbert n=1024", np.max(np.abs(got - ref)),
+              tol(n, "highest") * 2)
+
+    guarded("hilbert", hilbert_check)
+
+    def resample_check():
+        x = (rng.random((16, 500)) * 2 - 1).astype(np.float32)
+        got = np.asarray(S.resample(jnp.array(x), 300))
+        spec = np.fft.fft(x.astype(np.float64))
+        y = np.zeros((16, 300), np.complex128)
+        y[:, :151] = spec[:, :151]
+        y[:, -149:] = spec[:, -149:]
+        y[:, 150] += spec[:, -150]
+        ref = np.fft.ifft(y).real * (300 / 500)
+        check("resample 500->300", np.max(np.abs(got - ref)),
+              tol(2048, "highest") * 2)
+
+    guarded("resample", resample_check)
+
+    def correlate_check():
+        x = (rng.random(3000) * 2 - 1).astype(np.float32)
+        h = (rng.random(65) * 2 - 1).astype(np.float32)
+        got = np.asarray(S.fftcorrelate(jnp.array(x), jnp.array(h)))
+        ref = np.correlate(x.astype(np.float64), h.astype(np.float64),
+                           mode="full")
+        check("fftcorrelate", np.max(np.abs(got - ref)), 1e-3)
+
+    guarded("fftcorrelate", correlate_check)
+
+    def rfft_any_check():
+        n = 1000
+        x = (rng.random((16, n)) * 2 - 1).astype(np.float32)
+        from smfft_tpu.utils.transfer import from_device_complex
+        got = from_device_complex(S.rfft_any(jnp.array(x)))
+        ref = np.fft.rfft(x.astype(np.float64))
+        check("rfft_any n=1000", np.max(np.abs(got - ref)),
+              tol(2048, "highest") * 4)
+        back = np.asarray(S.irfft_any(S.rfft_any(jnp.array(x)), n=n))
+        check("irfft_any rt n=1000", np.max(np.abs(back - x)), 1e-3)
+
+    guarded("rfft_any", rfft_any_check)
+
+    def planar_api_check():
+        from smfft_tpu import planar
+        x = (rng.random((32, 1024)) * 2 - 1
+             + 1j * (rng.random((32, 1024)) * 2 - 1)).astype(np.complex64)
+        fr, fi = planar.fft(jnp.array(np.ascontiguousarray(x.real)),
+                            jnp.array(np.ascontiguousarray(x.imag)))
+        got = np.asarray(fr) + 1j * np.asarray(fi)
+        ref = np.fft.fft(x.astype(np.complex128))
+        check("planar.fft n=1024", np.max(np.abs(got - ref)),
+              tol(1024, "highest"))
+
+    guarded("planar api", planar_api_check)
+
     print(f"{'ALL PASSED' if failures == 0 else f'{failures} FAILURES'}")
     return 0 if failures == 0 else 1
 
