@@ -24,6 +24,7 @@ Normalization follows numpy: ``ifft`` divides by N, ``irfft`` by N, unless
 
 from __future__ import annotations
 
+import functools
 from typing import Literal
 
 import jax
@@ -101,6 +102,82 @@ def _c2c(x: jnp.ndarray, inverse: bool, ordered: bool, backend: str,
                                  radices=plan.radices, precision=precision)
 
 
+# ---------------------------------------------------------------------------
+# Differentiability.  The Pallas kernels have no AD rules, so the public
+# ordered transforms carry custom VJPs (spectral layers / learned filters
+# train THROUGH the fused kernels at kernel speed).  The DFT matrix is
+# symmetric, so the reverse-mode rule of either c2c direction is the SAME
+# transform applied to the cotangent; the real-transform rules carry the
+# Hermitian half-spectrum weights.  All four rules are verified against
+# jax.numpy.fft's VJPs in tests/test_autodiff.py.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _diff_c2c(inverse: bool, backend: str, precision: str | None,
+              norm_div: bool):
+    """custom_vjp-wrapped ordered C2C (vjp(g) = the same transform of g,
+    for both directions and either normalization — F^T = F)."""
+
+    @jax.custom_vjp
+    def f(x):
+        out = _c2c(x, inverse=inverse, ordered=True, backend=backend,
+                   precision=precision)
+        return out / x.shape[-1] if norm_div else out
+
+    f.defvjp(lambda x: (f(x), None), lambda _, g: (f(g),))
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _diff_rfft(backend: str, precision: str | None, packed: bool):
+    """custom_vjp-wrapped R2C: vjp(g) = n * irfft(conj(g) * s), with
+    s = [1, 1/2, ..., 1/2, 1] halving the double-counted interior bins
+    (real cotangent, matching jnp.fft.rfft)."""
+
+    @jax.custom_vjp
+    def f(x):
+        return (_rfft_impl(x, backend, precision, True) if packed
+                else _rfft_impl(x, backend, precision, False))
+
+    def bwd(_, g):
+        if packed:
+            raise NotImplementedError(
+                "fft_packed_real has no VJP (packed slot-0 layout); "
+                "differentiate rfft instead")
+        n = (g.shape[-1] - 1) * 2
+        s = np.concatenate([[1.0], np.full(n // 2 - 1, 0.5), [1.0]]
+                           ).astype(np.float32)
+        gx = irfft(jnp.conj(g) * s, n=n, backend=backend,
+                   precision=precision, norm="backward") * np.float32(n)
+        return (gx,)
+
+    f.defvjp(lambda x: (f(x), None), bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _diff_irfft(n: int, backend: str, precision: str | None,
+                norm_div: bool):
+    """custom_vjp-wrapped C2R (numpy layout): vjp(g) = conj(rfft(g)) * d
+    / n, d = [1, 2, ..., 2, 1] (and * n/2 instead of /1 when the raw
+    unnormalized contract is in effect)."""
+
+    @jax.custom_vjp
+    def f(x):
+        return _irfft_impl(x, n, backend, precision, norm_div)
+
+    def bwd(_, g):
+        d = np.concatenate([[1.0], np.full(n // 2 - 1, 2.0), [1.0]]
+                           ).astype(np.float32)
+        scale = np.float32(1.0 / n) if norm_div else np.float32(0.5)
+        gs = jnp.conj(rfft(g, backend=backend, precision=precision))
+        return (gs * (d * scale),)
+
+    f.defvjp(lambda x: (f(x), None), bwd)
+    return f
+
+
 def fft(x: jnp.ndarray, ordered: bool = True, backend: Backend = "auto",
         precision: str | None = None) -> jnp.ndarray:
     """Batched forward C2C FFT over the last axis.
@@ -114,16 +191,25 @@ def fft(x: jnp.ndarray, ordered: bool = True, backend: Backend = "auto",
         "high" (1e-4 gate, cheaper) | "fast" (throughput-only, outside
         the 1e-4 gate for N >= 256) | "default" (parity knob, unusable
         accuracy — warns).  See the tier notes above _resolve_precision.
+
+    Ordered transforms are differentiable (custom VJP through the fused
+    kernel); ``ordered=False`` is not (the revblock layout's VJP would
+    need an un-permutation pass — use the ordered form in training code).
     """
-    return _c2c(x, inverse=False, ordered=ordered, backend=backend,
+    if ordered:
+        return _diff_c2c(False, backend, precision, False)(x)
+    return _c2c(x, inverse=False, ordered=False, backend=backend,
                 precision=precision)
 
 
 def ifft(x: jnp.ndarray, ordered: bool = True, backend: Backend = "auto",
          precision: str | None = None, norm: str | None = "backward") -> jnp.ndarray:
     """Batched inverse C2C FFT. ``norm="backward"`` divides by N (numpy
-    semantics); ``norm=None`` matches the reference's unnormalized inverse."""
-    out = _c2c(x, inverse=True, ordered=ordered, backend=backend,
+    semantics); ``norm=None`` matches the reference's unnormalized inverse.
+    Differentiable when ``ordered=True``."""
+    if ordered:
+        return _diff_c2c(True, backend, precision, norm == "backward")(x)
+    out = _c2c(x, inverse=True, ordered=False, backend=backend,
                precision=precision)
     if norm == "backward":
         out = out / x.shape[-1]
@@ -163,6 +249,46 @@ def ifft_unordered(x: jnp.ndarray, backend: Backend = "auto",
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _diff_convolve(bank: bool, real: bool, backend: str,
+                   precision: str | None):
+    """custom_vjp over the fused convolution kernels: forward runs the
+    single-HBM-pass kernel; backward differentiates the mathematically
+    identical unfused composition (whose transforms carry their own
+    custom VJPs above), yielding cotangents for BOTH the signal batch
+    and the filter response (learned spectral filters)."""
+
+    def unfused(x_, h_):
+        n = x_.shape[-1]
+        if real:
+            spec = rfft(x_, backend=backend, precision=precision)
+            bins = n // 2 + 1
+        else:
+            spec = fft(x_, backend=backend, precision=precision)
+            bins = n
+        if bank:
+            spec = spec[None] * h_.reshape((h_.shape[0],)
+                                           + (1,) * (x_.ndim - 1) + (bins,))
+        else:
+            spec = spec * h_
+        if real:
+            return irfft(spec, n=n, backend=backend, precision=precision)
+        return ifft(spec, backend=backend, precision=precision)
+
+    @jax.custom_vjp
+    def f(x, h):
+        return (_convolve_real_impl if real else _convolve_impl)(
+            x, h, backend, precision)
+
+    def bwd(res, g):
+        x, h = res
+        _, pullback = jax.vjp(unfused, x, h)
+        return pullback(g)
+
+    f.defvjp(lambda x, h: (f(x, h), (x, h)), bwd)
+    return f
+
+
 def convolve(x: jnp.ndarray, h: jnp.ndarray, backend: Backend = "auto",
              precision: str | None = None) -> jnp.ndarray:
     """Batched circular convolution via the spectral theorem:
@@ -191,6 +317,13 @@ def convolve(x: jnp.ndarray, h: jnp.ndarray, backend: Backend = "auto",
     if h.shape != (n,) and not (bank and h.shape[-1] == n):
         raise ValueError(f"filter must be natural-order frequency response "
                          f"of shape ({n},) or (M, {n}), got {h.shape}")
+    return _diff_convolve(bank, False, backend, precision)(x, h)
+
+
+def _convolve_impl(x: jnp.ndarray, h: jnp.ndarray, backend: str,
+                   precision: str | None) -> jnp.ndarray:
+    n = x.shape[-1]
+    bank = h.ndim == 2
     precision = _resolve_precision(precision)
     backend = _resolve_backend(backend)
     if backend == "pallas":
@@ -241,6 +374,13 @@ def convolve_real(x: jnp.ndarray, h: jnp.ndarray,
         raise ValueError(f"filter must be an rfft-style frequency response "
                          f"of shape ({n // 2 + 1},) or (M, {n // 2 + 1}), "
                          f"got {h.shape}")
+    return _diff_convolve(bank, True, backend, precision)(x, h)
+
+
+def _convolve_real_impl(x: jnp.ndarray, h: jnp.ndarray, backend: str,
+                        precision: str | None) -> jnp.ndarray:
+    n = x.shape[-1]
+    bank = h.ndim == 2
     precision = _resolve_precision(precision)
     backend = _resolve_backend(backend)
     if backend == "pallas":
@@ -258,9 +398,8 @@ def convolve_real(x: jnp.ndarray, h: jnp.ndarray,
     return irfft(spec, n=n, backend=backend, precision=precision)
 
 
-def rfft(x: jnp.ndarray, backend: Backend = "auto",
-         precision: str | None = None) -> jnp.ndarray:
-    """Batched R2C FFT: real (..., N) -> complex (..., N/2+1), numpy layout."""
+def _rfft_impl(x: jnp.ndarray, backend: str, precision: str | None,
+               packed: bool) -> jnp.ndarray:
     n = x.shape[-1]
     if n not in P.SUPPORTED_REAL_SIZES:
         raise ValueError(
@@ -268,39 +407,31 @@ def rfft(x: jnp.ndarray, backend: Backend = "auto",
     precision = _resolve_precision(precision)
     backend = _resolve_backend(backend)
     if backend == "spec":
-        return real_model.rfft_spec(x)
+        return real_model.rfft_spec(x, packed=packed)
     if backend == "pallas":
         from smfft_tpu.ops import pallas_real
         if n >= 256:
             # fully-fused single-pass kernel
             return pallas_real.rfft_pallas_fused(x, precision=precision,
-                                                 packed=False)
-        return pallas_real.rfft_pallas(x, precision=precision, packed=False)
+                                                 packed=packed)
+        return pallas_real.rfft_pallas(x, precision=precision, packed=packed)
     z = real_model.pack_real(x)
     zf = matmul_fft.fft_matmul(z, precision=precision)
-    return real_model._split_forward(zf, n, packed=False)
+    return real_model._split_forward(zf, n, packed=packed)
+
+
+def rfft(x: jnp.ndarray, backend: Backend = "auto",
+         precision: str | None = None) -> jnp.ndarray:
+    """Batched R2C FFT: real (..., N) -> complex (..., N/2+1), numpy
+    layout.  Differentiable (custom VJP through the fused kernel)."""
+    return _diff_rfft(backend, precision, False)(x)
 
 
 def fft_packed_real(x: jnp.ndarray, backend: Backend = "auto",
                     precision: str | None = None) -> jnp.ndarray:
     """R2C in the reference's packed layout: (..., N/2) complex with
     out[..., 0] = DC + 1j*Nyquist (FFT-GPU-32bit-Stockham.cu:332-340)."""
-    n = x.shape[-1]
-    if n not in P.SUPPORTED_REAL_SIZES:
-        raise ValueError(f"Error wrong FFT length! N={n}")
-    precision = _resolve_precision(precision)
-    backend = _resolve_backend(backend)
-    if backend == "spec":
-        return real_model.rfft_spec(x, packed=True)
-    if backend == "pallas":
-        from smfft_tpu.ops import pallas_real
-        if n >= 256:
-            return pallas_real.rfft_pallas_fused(x, precision=precision,
-                                                 packed=True)
-        return pallas_real.rfft_pallas(x, precision=precision, packed=True)
-    z = real_model.pack_real(x)
-    zf = matmul_fft.fft_matmul(z, precision=precision)
-    return real_model._split_forward(zf, n, packed=True)
+    return _rfft_impl(x, backend, precision, True)
 
 
 def irfft(x: jnp.ndarray, n: int | None = None, backend: Backend = "auto",
@@ -310,11 +441,32 @@ def irfft(x: jnp.ndarray, n: int | None = None, backend: Backend = "auto",
 
     ``norm="backward"`` divides by N (numpy); ``norm=None`` returns the
     reference's raw (N/2)-scaled output
-    (SMFFT_Stockham_R2C_C2R/FFT.c:170-171)."""
+    (SMFFT_Stockham_R2C_C2R/FFT.c:170-171).  The numpy-layout form
+    (``packed=False``) is differentiable (custom VJP through the fused
+    kernel)."""
     if n is None:
         n = (x.shape[-1] - 1) * 2 if not packed else x.shape[-1] * 2
     if n not in P.SUPPORTED_REAL_SIZES:
         raise ValueError(f"Error wrong FFT length! N={n}")
+    if not packed:
+        return _diff_irfft(n, backend, precision, norm == "backward")(x)
+    return _irfft_impl_packed(x, n, backend, precision,
+                              norm == "backward")
+
+
+def _irfft_impl(x: jnp.ndarray, n: int, backend: str,
+                precision: str | None, norm_div: bool) -> jnp.ndarray:
+    """Numpy-layout C2R body (called under the custom_vjp wrapper)."""
+    return _irfft_common(x, n, backend, precision, norm_div, False)
+
+
+def _irfft_impl_packed(x, n, backend, precision, norm_div):
+    return _irfft_common(x, n, backend, precision, norm_div, True)
+
+
+def _irfft_common(x: jnp.ndarray, n: int, backend: str,
+                  precision: str | None, norm_div: bool,
+                  packed: bool) -> jnp.ndarray:
     precision = _resolve_precision(precision)
     backend = _resolve_backend(backend)
     if backend == "spec":
@@ -350,7 +502,7 @@ def irfft(x: jnp.ndarray, n: int | None = None, backend: Backend = "auto",
         zi = matmul_fft.fft_matmul(z, inverse=True, precision=precision)
         out = jnp.stack([jnp.real(zi), jnp.imag(zi)], axis=-1).reshape(
             x.shape[:-1] + (n,))
-    if norm == "backward":
+    if norm_div:
         # the raw half-size-inverse output is (N/2)-scaled, so this yields x
         out = out / (n // 2)
     return out

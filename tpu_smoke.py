@@ -400,6 +400,32 @@ def main():
 
     guarded("rfft_any", rfft_any_check)
 
+    def autodiff_check():
+        from smfft_tpu import api
+        n = 1024
+        vr = jnp.array(rng.random((64, n)).astype(np.float32) - 0.5)
+        vi = jnp.array(rng.random((64, n)).astype(np.float32) - 0.5)
+
+        def loss(vr, vi):
+            x = jax.lax.complex(vr, vi)
+            return jnp.sum(jnp.abs(api.fft(x, backend="pallas")) ** 2)
+
+        gr, gi = jax.jit(jax.grad(loss, argnums=(0, 1)))(vr, vi)
+        # Parseval: sum |F x|^2 = n sum |x|^2, so grad = 2 n (vr, vi)
+        err = (float(jnp.max(jnp.abs(gr - 2 * n * vr)))
+               + float(jnp.max(jnp.abs(gi - 2 * n * vi)))) / (2 * n)
+        check("fft grad-under-jit (Parseval)", err, tol(n, "highest"))
+
+        xr = jnp.array(rng.random((32, 512)).astype(np.float32) - 0.5)
+        g = jax.jit(jax.grad(lambda v: jnp.sum(jnp.abs(
+            api.rfft(v, backend="pallas")) ** 2)))(xr)
+        g_ref = jax.jit(jax.grad(lambda v: jnp.sum(jnp.abs(
+            jnp.fft.rfft(v)) ** 2)))(xr)
+        err_r = float(jnp.max(jnp.abs(g - g_ref))) / 1024.0
+        check("rfft grad-under-jit", err_r, tol(512, "highest"))
+
+    guarded("autodiff", autodiff_check)
+
     def planar_api_check():
         from smfft_tpu import planar
         x = (rng.random((32, 1024)) * 2 - 1
