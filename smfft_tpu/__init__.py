@@ -41,7 +41,7 @@ from smfft_tpu.signal import (fftconvolve, get_window, power_spectrum,
 from smfft_tpu.ndim import (fft2, ifft2, fftn, ifftn, rfft2, irfft2,
                             fftshift, ifftshift, fftfreq, rfftfreq)
 from smfft_tpu.bluestein import (fft_any, ifft_any, rfft_any, irfft_any,
-                                 czt)
+                                 czt, zoom_fft)
 from smfft_tpu.dct import dct, idct, dst, idst
 from smfft_tpu.signal import (oaconvolve, fftcorrelate, hilbert, envelope,
                               resample)
@@ -82,6 +82,7 @@ __all__ = [
     "fft_any",
     "ifft_any",
     "czt",
+    "zoom_fft",
     "rfft_any",
     "irfft_any",
     "oaconvolve",

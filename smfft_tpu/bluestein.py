@@ -211,3 +211,28 @@ def czt(x: jnp.ndarray, m: int | None = None, w: complex | None = None,
     conv = api.convolve(jnp.pad(sig, pad), jnp.asarray(fv),
                         backend=backend, precision=precision)
     return conv[..., :m] * jnp.asarray(out_chirp)
+
+
+def zoom_fft(x: jnp.ndarray, fn, m: int | None = None, *, fs: float = 2.0,
+             backend: api.Backend = "auto",
+             precision: str | None = None) -> jnp.ndarray:
+    """Zoomed DFT over a frequency band (scipy.signal.zoom_fft): evaluate
+    ``m`` equally spaced bins of the DTFT on [f1, f2] without computing
+    the full padded FFT.
+
+    ``fn``: the band — a scalar f2 (band = [0, f2]) or a pair (f1, f2),
+    in the same units as ``fs`` (default fs=2 makes frequencies
+    fractions of the Nyquist rate).  One chirp-z on the fused kernel.
+    """
+    n = x.shape[-1]
+    if m is None:
+        m = n
+    if np.ndim(fn) == 0:
+        f1, f2 = 0.0, float(fn)
+    else:
+        f1, f2 = float(fn[0]), float(fn[1])
+    # scipy's endpoint=False convention: bin step (f2 - f1) / (fs * m)
+    w = np.exp(-2j * np.pi * (f2 - f1) / (fs * m))
+    a = np.exp(2j * np.pi * f1 / fs)
+    return czt(x, m=m, w=complex(w), a=complex(a), backend=backend,
+               precision=precision)

@@ -112,3 +112,27 @@ def test_czt_spiral_contour(rng):
     want = np.array([np.sum(x.astype(np.complex128) * (a ** -j) * w ** (j * k))
                      for k in range(m)])
     assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-4
+
+
+def test_zoom_fft_vs_scipy(rng):
+    import scipy.signal as sps
+    from smfft_tpu.bluestein import zoom_fft
+
+    n, m = 400, 128
+    x = (rng.random((3, n)) + 1j * rng.random((3, n)) - 0.5 - 0.5j
+         ).astype(np.complex64)
+    got = np.asarray(zoom_fft(jnp.array(x), [0.1, 0.4], m=m))
+    ref = sps.zoom_fft(x.astype(np.complex128), [0.1, 0.4], m=m)
+    assert got.shape == (3, m)
+    assert np.max(np.abs(got - ref)) < 1e-2
+
+
+def test_zoom_fft_full_band_is_dft(rng):
+    from smfft_tpu.bluestein import zoom_fft
+
+    n = 100
+    x = (rng.random((2, n)) + 1j * rng.random((2, n)) - 0.5 - 0.5j
+         ).astype(np.complex64)
+    got = np.asarray(zoom_fft(jnp.array(x), 2.0, m=n))
+    ref = np.fft.fft(x.astype(np.complex128))
+    assert np.max(np.abs(got - ref)) < 1e-2
