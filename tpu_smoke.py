@@ -28,6 +28,7 @@ def tol(n, prec):
 def main():
     import jax
     import jax.numpy as jnp
+    import smfft_tpu as S
     from smfft_tpu.ops import pallas_c2c as PC
     from smfft_tpu.ops import pallas_real as PR
 
@@ -284,7 +285,6 @@ def main():
         guarded(f"real convolve n={n}", lambda n=n: conv_real_check(n))
 
     def fftconvolve_check():
-        import smfft_tpu as S
         t, k = 3000, 65
         x = (rng.random(t) * 2 - 1).astype(np.float32)
         ht = (rng.random(k) * 2 - 1).astype(np.float32)
