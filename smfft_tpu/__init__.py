@@ -34,7 +34,8 @@ from smfft_tpu.params import (
     plan_for,
 )
 from smfft_tpu.api import (fft, ifft, ifft_unordered, rfft, irfft,
-                           fft_packed_real, convolve, convolve_real)
+                           fft_packed_real, convolve, convolve_real,
+                           fft_large, ifft_large)
 from smfft_tpu.signal import (fftconvolve, get_window, power_spectrum,
                               periodogram, welch, spectrogram, stft,
                               istft)
@@ -61,6 +62,8 @@ __all__ = [
     "fft_packed_real",
     "convolve",
     "convolve_real",
+    "fft_large",
+    "ifft_large",
     "fftconvolve",
     "get_window",
     "power_spectrum",

@@ -398,6 +398,38 @@ def _convolve_real_impl(x: jnp.ndarray, h: jnp.ndarray, backend: str,
     return irfft(spec, n=n, backend=backend, precision=precision)
 
 
+def fft_large(x: jnp.ndarray, backend: Backend = "auto",
+              precision: str | None = None) -> jnp.ndarray:
+    """Forward C2C FFT for huge power-of-two N (2**15..2**28), batched
+    over leading axes — sizes beyond the single-row-kernel cap (the
+    reference stops at 4096, FFT-GPU-32bit.cu:656-658; the row kernels
+    here stop at 16384).  Runs the four-step decomposition
+    (ops/fourstep.py): two batches of fused row transforms glued by one
+    exact twiddle multiply.  Sizes <= 16384 route to :func:`fft`."""
+    n = x.shape[-1]
+    if n in P.SUPPORTED_C2C_SIZES:
+        return fft(x, backend=backend, precision=precision)
+    from smfft_tpu.ops import fourstep
+    return fourstep.fft_four_step(x, inverse=False, backend=backend,
+                                  precision=precision)
+
+
+def ifft_large(x: jnp.ndarray, backend: Backend = "auto",
+               precision: str | None = None,
+               norm: str | None = "backward") -> jnp.ndarray:
+    """Inverse of :func:`fft_large`.  ``norm="backward"`` divides by N
+    (numpy); ``norm=None`` is the reference's raw unnormalized inverse."""
+    n = x.shape[-1]
+    if n in P.SUPPORTED_C2C_SIZES:
+        return ifft(x, backend=backend, precision=precision, norm=norm)
+    from smfft_tpu.ops import fourstep
+    out = fourstep.fft_four_step(x, inverse=True, backend=backend,
+                                 precision=precision)
+    if norm == "backward":
+        out = out / n
+    return out
+
+
 def _rfft_impl(x: jnp.ndarray, backend: str, precision: str | None,
                packed: bool) -> jnp.ndarray:
     n = x.shape[-1]

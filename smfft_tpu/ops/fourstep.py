@@ -1,0 +1,134 @@
+"""Four-step (Bailey) decomposition: huge power-of-two C2C FFTs out of
+the roofline row kernels.
+
+The reference library caps at N = 4096 — the size of one CUDA block's
+shared memory (SMFFT_CooleyTukey_C2C/FFT-GPU-32bit.cu:599-659; anything
+larger prints "Error wrong FFT length!").  This module removes the cap
+the TPU-native way: factor N = N1 * N2 with both factors supported row
+sizes, and compute the length-N transform as two batches of row
+transforms (each a fused single-HBM-pass kernel) glued by one exact
+twiddle multiply and lane-major transposes:
+
+    A[n1, n2] = x[n1*N2 + n2]                    # reshape, free
+    B[n2, k1] = FFT_N1(A[:, n2])                 # row kernel on A^T
+    B[n2, k1] *= W_N^(n2*k1)                     # twiddle (exact, below)
+    C[k1, k2] = FFT_N2(B[:, k1])                 # row kernel on B^T
+    X[k2*N1 + k1] = C[k1, k2]                    # transpose + reshape
+
+This is the classic six-step formulation (transpose / FFT / twiddle /
+transpose / FFT / transpose); XLA fuses the twiddle into the surrounding
+passes.  Both local (fft_four_step: one chip, N up to 2**28) and
+distributed (parallel/distributed.py: N1 and N2 sharded over the mesh,
+all_to_all transposes over ICI) entry points ride the same math.
+
+Twiddle exactness: the naive fp32 angle 2*pi*n2*k1/N loses ~8 bits at
+N = 2**28 (n2*k1 is not representable).  Instead the exponent is reduced
+with EXACT modular arithmetic — N is a power of two, and uint32 multiply
+wraps mod 2**32, so (n2 * k1) & (N-1) is the true n2*k1 mod N for any
+N <= 2**32 — and the root W_N^m is split as W_N^(hi<<LO) * W_N^lo from
+two fp64-computed, fp32-rounded tables of <= 2**14 entries each (same
+table discipline as params.stage_twiddles).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smfft_tpu import params as P
+
+#: low-table width: 2**14 entries = one 16384-lane constant row, the
+#: largest supported row size (keeps both tables VMEM-resident).
+_LO_BITS = 14
+
+#: largest local four-step size: 16384 * 16384.
+MAX_FOUR_STEP = 1 << 28
+
+
+def split_factors(n: int, min_factor: int = 32) -> tuple[int, int]:
+    """Balanced N = N1 * N2 split with both factors supported row sizes.
+
+    Raises the reference-style size error when n is not a power of two,
+    too small to split (< min_factor**2), or beyond 2**28.
+    """
+    if n <= 0 or (n & (n - 1)) != 0 or n > MAX_FOUR_STEP \
+            or n < min_factor * min_factor:
+        raise ValueError(
+            f"Error wrong FFT length! N={n}; four-step supports powers of "
+            f"two in [{min_factor * min_factor}, {MAX_FOUR_STEP}]")
+    k = n.bit_length() - 1
+    k1 = (k + 1) // 2
+    n1, n2 = 1 << k1, 1 << (k - k1)
+    assert n1 in P.SUPPORTED_C2C_SIZES and n2 in P.SUPPORTED_C2C_SIZES
+    return n1, n2
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_tables(n: int, inverse: bool):
+    """Planar (lo_r, lo_i, hi_r, hi_i) float32 tables: W_N^j for
+    j < 2**lo_bits and W_N^(i << lo_bits), fp64-computed then fp32-rounded
+    (cf. params.stage_twiddles).  Kept as separate real/imag float32
+    arrays — complex64 constants cannot cross the host->device boundary
+    on the axon backend (see utils/transfer.py); the complex twiddle is
+    assembled on device with lax.complex."""
+    lo_bits = min(_LO_BITS, n.bit_length() - 1)
+    sign = 2j * np.pi / n if inverse else -2j * np.pi / n
+    t_lo = np.exp(sign * np.arange(1 << lo_bits))
+    t_hi = np.exp(sign * (np.arange(n >> lo_bits) << lo_bits))
+    return (t_lo.real.astype(np.float32), t_lo.imag.astype(np.float32),
+            t_hi.real.astype(np.float32), t_hi.imag.astype(np.float32))
+
+
+def twiddle_rows(b: jnp.ndarray, n2_global: jnp.ndarray, n: int,
+                 inverse: bool) -> jnp.ndarray:
+    """Multiply B[..., r, k1] by W_N^(n2_global[r] * k1), exactly.
+
+    ``n2_global`` carries each local row's GLOBAL second index (the
+    distributed path passes the shard offset); k1 ranges over the full
+    last axis.  Exponent reduction is exact uint32 wraparound (see module
+    docstring)."""
+    n1 = b.shape[-1]
+    lo_bits = min(_LO_BITS, n.bit_length() - 1)
+    lo_r, lo_i, hi_r, hi_i = (jnp.asarray(t)
+                              for t in _twiddle_tables(n, inverse))
+    m = (n2_global.astype(jnp.uint32)[:, None]
+         * jnp.arange(n1, dtype=jnp.uint32)[None, :]) & jnp.uint32(n - 1)
+    ih = (m >> lo_bits).astype(jnp.int32)
+    il = (m & jnp.uint32((1 << lo_bits) - 1)).astype(jnp.int32)
+    tw_r = hi_r[ih] * lo_r[il] - hi_i[ih] * lo_i[il]
+    tw_i = hi_r[ih] * lo_i[il] + hi_i[ih] * lo_r[il]
+    return b * jax.lax.complex(tw_r, tw_i)
+
+
+def _row_fft(x: jnp.ndarray, inverse: bool, backend: str,
+             precision: str | None) -> jnp.ndarray:
+    """Ordered row transform; the inverse stays UNNORMALIZED (the 1/N of
+    a backward-norm inverse is applied once at the top level)."""
+    from smfft_tpu import api
+    if inverse:
+        return api.ifft(x, backend=backend, precision=precision, norm=None)
+    return api.fft(x, backend=backend, precision=precision)
+
+
+def fft_four_step(x: jnp.ndarray, *, inverse: bool = False,
+                  backend: str = "auto", precision: str | None = None,
+                  factors: tuple[int, int] | None = None) -> jnp.ndarray:
+    """Single-device C2C FFT over the last axis for huge power-of-two N
+    (beyond the 16384 row-kernel cap, up to 2**28) via the four-step
+    decomposition.  Batched over any leading axes.  Unnormalized both
+    directions (api.fft_large/ifft_large add numpy norms on top)."""
+    n = x.shape[-1]
+    n1, n2 = factors if factors is not None else split_factors(n)
+    if n1 * n2 != n:
+        raise ValueError(f"factors {n1}*{n2} != N={n}")
+    a = x.reshape(x.shape[:-1] + (n1, n2))
+    # columns -> rows: FFT over n1
+    b = _row_fft(jnp.swapaxes(a, -1, -2), inverse, backend, precision)
+    b = twiddle_rows(b, jnp.arange(n2, dtype=jnp.uint32), n, inverse)
+    # columns -> rows: FFT over n2
+    c = _row_fft(jnp.swapaxes(b, -1, -2), inverse, backend, precision)
+    # X[k2*N1 + k1] = C[k1, k2]
+    return jnp.swapaxes(c, -1, -2).reshape(x.shape[:-1] + (n,))

@@ -1,0 +1,218 @@
+"""Four-step decomposition: local huge-N FFT and the distributed
+single-transform path over the 8-device virtual mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import smfft_tpu as S
+from smfft_tpu.ops import fourstep
+from smfft_tpu.parallel import (batch_mesh, distributed_fft,
+                                distributed_ifft, plan_distributed)
+
+from conftest import max_abs_err
+
+
+def rel_err(got, want):
+    want = np.asarray(want, dtype=np.complex128)
+    return max_abs_err(got, want) / max(1e-30, float(np.max(np.abs(want))))
+
+
+def fft_mesh(axis_name="fft"):
+    return batch_mesh(axis_name=axis_name)
+
+
+# ---------------------------------------------------------------------------
+# exact modular twiddles
+# ---------------------------------------------------------------------------
+
+def test_twiddle_rows_exact_modular(rng):
+    """uint32-wraparound exponent reduction matches the fp64 ground truth
+    at an N where naive fp32 angles lose ~8 bits."""
+    n = 1 << 26
+    rows = np.array([0, 1, 12345, (1 << 20) - 1], dtype=np.uint32)
+    cols = 512
+    b = jnp.ones((len(rows), cols), jnp.complex64)
+    got = np.asarray(fourstep.twiddle_rows(b, jnp.array(rows), n, False))
+    k = np.arange(cols, dtype=np.float64)
+    want = np.exp(-2j * np.pi * (rows[:, None].astype(np.float64) * k) / n)
+    assert np.max(np.abs(got - want)) < 1e-6
+
+
+def test_split_factors():
+    assert fourstep.split_factors(1 << 20) == (1024, 1024)
+    assert fourstep.split_factors(1 << 21) == (2048, 1024)
+    assert fourstep.split_factors(1 << 28) == (16384, 16384)
+    with pytest.raises(ValueError, match="wrong FFT length"):
+        fourstep.split_factors(3 << 20)   # not a power of two
+    with pytest.raises(ValueError, match="wrong FFT length"):
+        fourstep.split_factors(1 << 29)   # beyond 16384*16384
+    with pytest.raises(ValueError, match="wrong FFT length"):
+        fourstep.split_factors(512)       # below 32*32
+
+
+# ---------------------------------------------------------------------------
+# local four-step (fft_large / ifft_large)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [1 << 15, 1 << 16, 1 << 17])
+def test_fft_large_matches_numpy(rng, n):
+    x = (rng.random(n) + 1j * rng.random(n) - 0.5 - 0.5j
+         ).astype(np.complex64)
+    got = S.fft_large(jnp.array(x), backend="xla")
+    assert rel_err(got, np.fft.fft(x.astype(np.complex128))) < 2e-6
+
+
+def test_fft_large_batched(rng):
+    n = 1 << 15
+    x = (rng.random((3, n)) + 1j * rng.random((3, n)) - 0.5 - 0.5j
+         ).astype(np.complex64)
+    got = S.fft_large(jnp.array(x), backend="xla")
+    assert rel_err(got, np.fft.fft(x.astype(np.complex128))) < 2e-6
+
+
+def test_ifft_large_roundtrip(rng):
+    n = 1 << 16
+    x = (rng.random(n) + 1j * rng.random(n) - 0.5 - 0.5j
+         ).astype(np.complex64)
+    back = S.ifft_large(S.fft_large(jnp.array(x), backend="xla"),
+                        backend="xla")
+    assert rel_err(back, x) < 2e-6
+
+
+def test_ifft_large_norm_none_is_unnormalized(rng):
+    n = 1 << 15
+    x = (rng.random(n) - 0.5).astype(np.complex64)
+    raw = S.ifft_large(jnp.array(x), backend="xla", norm=None)
+    div = S.ifft_large(jnp.array(x), backend="xla", norm="backward")
+    assert rel_err(raw / n, div) < 1e-6
+
+
+def test_fft_large_small_sizes_route_to_fft(rng):
+    n = 4096
+    x = (rng.random(n) + 1j * rng.random(n) - 0.5 - 0.5j
+         ).astype(np.complex64)
+    got = S.fft_large(jnp.array(x), backend="xla")
+    assert rel_err(got, np.fft.fft(x.astype(np.complex128))) < 2e-6
+
+
+def test_fft_large_rejects_bad_sizes(rng):
+    with pytest.raises(ValueError, match="wrong FFT length"):
+        S.fft_large(jnp.zeros(3 << 14, jnp.complex64), backend="xla")
+
+
+def test_fourstep_pallas_interpret(rng):
+    """The four-step glue over the PRODUCT row kernels (interpret mode)."""
+    import smfft_tpu.ops.pallas_c2c as PC
+
+    PC.set_interpret(True)
+    try:
+        n = 1 << 12   # 64 x 64 rows: cheap enough for interpret mode
+        x = (rng.random(n) + 1j * rng.random(n) - 0.5 - 0.5j
+             ).astype(np.complex64)
+        got = fourstep.fft_four_step(jnp.array(x), backend="pallas",
+                                     factors=(64, 64))
+        assert rel_err(got, np.fft.fft(x.astype(np.complex128))) < 2e-6
+    finally:
+        PC.set_interpret(False)
+
+
+# ---------------------------------------------------------------------------
+# distributed (8-device mesh, all_to_all)
+# ---------------------------------------------------------------------------
+
+def test_plan_distributed():
+    assert plan_distributed(1 << 20, 8) == (1024, 1024)
+    with pytest.raises(ValueError, match="wrong FFT length"):
+        plan_distributed(1024, 64)   # 32 not divisible by 64
+
+
+@pytest.mark.parametrize("n", [1 << 10, 1 << 17, 1 << 20])
+def test_distributed_fft_matches_numpy(rng, n):
+    mesh = fft_mesh()
+    x = (rng.random(n) + 1j * rng.random(n) - 0.5 - 0.5j
+         ).astype(np.complex64)
+    got = distributed_fft(jnp.array(x), mesh, backend="xla")
+    assert len(got.sharding.device_set) == 8
+    assert rel_err(got, np.fft.fft(x.astype(np.complex128))) < 2e-6
+
+
+def test_distributed_roundtrip(rng):
+    mesh = fft_mesh()
+    n = 1 << 18
+    x = (rng.random(n) + 1j * rng.random(n) - 0.5 - 0.5j
+         ).astype(np.complex64)
+    back = distributed_ifft(distributed_fft(jnp.array(x), mesh,
+                                            backend="xla"),
+                            mesh, backend="xla")
+    assert rel_err(back, x) < 2e-6
+
+
+def test_distributed_transposed_contract(rng):
+    """C[k1, k2] = X[k2*N1 + k1], k1 sharded over the mesh."""
+    mesh = fft_mesh()
+    n = 1 << 16
+    n1, n2 = plan_distributed(n, 8)
+    x = (rng.random(n) + 1j * rng.random(n) - 0.5 - 0.5j
+         ).astype(np.complex64)
+    c = distributed_fft(jnp.array(x), mesh, backend="xla",
+                        transposed_output=True)
+    assert c.shape == (n1, n2)
+    want = np.fft.fft(x.astype(np.complex128)).reshape(n2, n1).T
+    assert rel_err(c, want) < 2e-6
+
+
+def test_distributed_transposed_roundtrip(rng):
+    """forward(transposed_output) |> inverse(transposed_input) -> natural
+    x, with the middle matrix never relaid out."""
+    mesh = fft_mesh()
+    n = 1 << 18
+    x = (rng.random(n) + 1j * rng.random(n) - 0.5 - 0.5j
+         ).astype(np.complex64)
+    c = distributed_fft(jnp.array(x), mesh, backend="xla",
+                        transposed_output=True)
+    back = distributed_ifft(c, mesh, backend="xla", transposed_input=True)
+    assert back.shape == (n,)
+    assert rel_err(back, x) < 2e-6
+
+
+def test_distributed_spectral_filter_in_transposed_layout(rng):
+    """The intended round-trip use: pointwise spectral multiply applied
+    directly in the C-layout between the two transforms."""
+    mesh = fft_mesh()
+    n = 1 << 16
+    n1, n2 = plan_distributed(n, 8)
+    x = (rng.random(n) - 0.5).astype(np.complex64)
+    h = (rng.random(n) - 0.5).astype(np.complex64)   # freq response
+    c = distributed_fft(jnp.array(x), mesh, backend="xla",
+                        transposed_output=True)
+    # H in C-layout: H_c[k1, k2] = H[k2*n1 + k1]
+    h_c = jnp.array(h.reshape(n2, n1).T)
+    y = distributed_ifft(c * h_c, mesh, backend="xla",
+                         transposed_input=True)
+    want = np.fft.ifft(np.fft.fft(x.astype(np.complex128)) * h)
+    assert rel_err(y, want) < 2e-6
+
+
+def test_distributed_rejects_batch(rng):
+    mesh = fft_mesh()
+    with pytest.raises(ValueError, match="1-D"):
+        distributed_fft(jnp.zeros((2, 1 << 16), jnp.complex64), mesh,
+                        backend="xla")
+
+
+def test_distributed_pallas_interpret(rng):
+    """The product kernel under shard_map + all_to_all (interpret)."""
+    import smfft_tpu.ops.pallas_c2c as PC
+
+    PC.set_interpret(True)
+    try:
+        mesh = fft_mesh()
+        n = 1 << 11   # 64 x 32
+        x = (rng.random(n) + 1j * rng.random(n) - 0.5 - 0.5j
+             ).astype(np.complex64)
+        got = distributed_fft(jnp.array(x), mesh, backend="pallas")
+        assert rel_err(got, np.fft.fft(x.astype(np.complex128))) < 2e-6
+    finally:
+        PC.set_interpret(False)
