@@ -271,6 +271,62 @@ def main():
                         ffts=rows_n * MULT_ITERS)
         details["sizes"][str(n)] = entry
 
+    # huge-N four-step rows (beyond the reference's 4096 cap and the
+    # row-kernel 16384 cap): one batched fft_large / rfft_large at
+    # N = 2**20, counted as in+out useful bytes (the four-step makes
+    # ~3 logical passes, so GB/s here is EFFECTIVE external throughput,
+    # not a roofline claim), plus jnp.fft at the same size for scale
+    if flags.external:
+        try:
+            from smfft_tpu import api as API
+            nL, bL = 1 << 20, 24
+            lr = devdata(bL, nL, 17)
+            li = devdata(bL, nL, 18)
+
+            @jax.jit
+            def run_large(p, q):
+                y = API.fft_large(jax.lax.complex(p, q))
+                return jnp.real(y), jnp.imag(y)
+
+            def f_large():
+                out = run_large(lr, li)
+                float(force(out[0]))
+            gbs, ms = timed_gbs(f_large, bL * nL * 16,
+                                match=r"^jit_run_large")
+            details["fft_large_n2e20_gbs"] = gbs
+            log(f"fft_large n=2^20: {gbs:6.1f} GB/s effective "
+                f"({ms:.2f} ms, batch {bL})")
+
+            @jax.jit
+            def run_large_jnp(p, q):
+                return jnp.real(jnp.fft.fft(jax.lax.complex(p, q)))
+
+            def f_large_jnp():
+                out = run_large_jnp(lr, li)
+                float(force(out))
+            gbs, _ = timed_gbs(f_large_jnp, bL * nL * 16,
+                               match=r"^jit_run_large_jnp")
+            details["jnp_fft_n2e20_gbs"] = gbs
+            log(f"jnp.fft   n=2^20: {gbs:6.1f} GB/s effective")
+
+            xr = devdata(bL, 2 * nL, 19)
+
+            @jax.jit
+            def run_rlarge(p):
+                y = API.rfft_large(p, packed=True)
+                return jnp.real(y), jnp.imag(y)
+
+            def f_rlarge():
+                out = run_rlarge(xr)
+                float(force(out[0]))
+            gbs, _ = timed_gbs(f_rlarge, bL * 2 * nL * 8,
+                               match=r"^jit_run_rlarge")
+            details["rfft_large_n2e21_gbs"] = gbs
+            log(f"rfft_large n=2^21: {gbs:6.1f} GB/s effective")
+        except Exception as e:  # noqa: BLE001
+            details["fft_large_error"] = str(e)[:160]
+            log(f"fft_large rows FAILED: {str(e)[:120]}")
+
     # XLA-native jnp.fft comparison at N=1024 (same method)
     try:
         rows_j = 1 << (((PLANE_MB * 2 ** 20) // (1024 * 4)).bit_length()

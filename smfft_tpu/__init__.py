@@ -35,7 +35,7 @@ from smfft_tpu.params import (
 )
 from smfft_tpu.api import (fft, ifft, ifft_unordered, rfft, irfft,
                            fft_packed_real, convolve, convolve_real,
-                           fft_large, ifft_large)
+                           fft_large, ifft_large, rfft_large, irfft_large)
 from smfft_tpu.signal import (fftconvolve, get_window, power_spectrum,
                               periodogram, welch, spectrogram, stft,
                               istft)
@@ -64,6 +64,8 @@ __all__ = [
     "convolve_real",
     "fft_large",
     "ifft_large",
+    "rfft_large",
+    "irfft_large",
     "fftconvolve",
     "get_window",
     "power_spectrum",

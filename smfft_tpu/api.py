@@ -430,6 +430,40 @@ def ifft_large(x: jnp.ndarray, backend: Backend = "auto",
     return out
 
 
+def rfft_large(x: jnp.ndarray, backend: Backend = "auto",
+               precision: str | None = None,
+               packed: bool = False) -> jnp.ndarray:
+    """R2C FFT for huge power-of-two N (2**15..2**29): the reference's
+    half-size pack trick (SMFFT_Stockham_R2C_C2R/FFT-GPU-32bit-
+    Stockham.cu:269-344) applied at four-step scale (ops/fourstep.py).
+    Sizes <= 16384 route to :func:`rfft` / :func:`fft_packed_real`."""
+    n = x.shape[-1]
+    if n in P.SUPPORTED_REAL_SIZES:
+        return _rfft_impl(x, _resolve_backend(backend),
+                          _resolve_precision(precision), packed)
+    from smfft_tpu.ops import fourstep
+    return fourstep.rfft_four_step(x, packed=packed, backend=backend,
+                                   precision=precision)
+
+
+def irfft_large(x: jnp.ndarray, n: int | None = None,
+                backend: Backend = "auto", precision: str | None = None,
+                norm: str | None = "backward",
+                packed: bool = False) -> jnp.ndarray:
+    """Inverse of :func:`rfft_large`.  ``norm="backward"`` returns the
+    signal (numpy); ``norm=None`` keeps the reference's raw (N/2)-scaled
+    output (SMFFT_Stockham_R2C_C2R/FFT.c:170-171)."""
+    if n is None:
+        n = (x.shape[-1] - 1) * 2 if not packed else x.shape[-1] * 2
+    if n in P.SUPPORTED_REAL_SIZES:
+        return irfft(x, n=n, backend=backend, precision=precision,
+                     norm=norm, packed=packed)
+    from smfft_tpu.ops import fourstep
+    return fourstep.irfft_four_step(x, n, packed=packed, backend=backend,
+                                    precision=precision,
+                                    normalize=norm == "backward")
+
+
 def _rfft_impl(x: jnp.ndarray, backend: str, precision: str | None,
                packed: bool) -> jnp.ndarray:
     n = x.shape[-1]

@@ -103,6 +103,112 @@ def twiddle_rows(b: jnp.ndarray, n2_global: jnp.ndarray, n: int,
     return b * jax.lax.complex(tw_r, tw_i)
 
 
+def _half_root_planar(n: int, inverse: bool):
+    """Planar (wr, wi) float32 arrays of W_N^k for k in [0, N/2): the
+    split/merge twiddle of the real-transform pack trick at four-step
+    scale, assembled on device from the same exact hi/lo tables as
+    :func:`twiddle_rows` (k < N needs no modular reduction)."""
+    lo_bits = min(_LO_BITS, n.bit_length() - 1)
+    lo_r, lo_i, hi_r, hi_i = (jnp.asarray(t)
+                              for t in _twiddle_tables(n, inverse))
+    k = jnp.arange(n // 2, dtype=jnp.uint32)
+    ih = (k >> lo_bits).astype(jnp.int32)
+    il = (k & jnp.uint32((1 << lo_bits) - 1)).astype(jnp.int32)
+    wr = hi_r[ih] * lo_r[il] - hi_i[ih] * lo_i[il]
+    wi = hi_r[ih] * lo_i[il] + hi_i[ih] * lo_r[il]
+    return wr, wi
+
+
+def _check_real_n(n: int):
+    if n <= 0 or (n & (n - 1)) != 0 or not 64 <= n <= 2 * MAX_FOUR_STEP:
+        raise ValueError(
+            f"Error wrong FFT length! N={n}; four-step real transforms "
+            f"support powers of two in [64, {2 * MAX_FOUR_STEP}]")
+
+
+def _half_fft(z: jnp.ndarray, inverse: bool, backend: str,
+              precision: str | None) -> jnp.ndarray:
+    """Length-L complex transform (row kernel when L is a supported row
+    size, four-step above), UNNORMALIZED both directions."""
+    if z.shape[-1] in P.SUPPORTED_C2C_SIZES:
+        return _row_fft(z, inverse, backend, precision)
+    return fft_four_step(z, inverse=inverse, backend=backend,
+                         precision=precision)
+
+
+def rfft_four_step(x: jnp.ndarray, *, packed: bool = False,
+                   backend: str = "auto",
+                   precision: str | None = None) -> jnp.ndarray:
+    """Huge-N R2C via the reference's half-size pack trick
+    (SMFFT_Stockham_R2C_C2R/FFT-GPU-32bit-Stockham.cu:269-344) applied at
+    four-step scale: pack (even, odd) -> length-L complex transform
+    (four-step above the row cap) -> Hermitian split with EXACT W_N^k
+    twiddles from the hi/lo tables.  Real (..., N) -> complex
+    (..., N/2+1) numpy layout, or the reference's packed (..., N/2)
+    layout with out[..., 0] = DC + 1j*Nyquist."""
+    n = x.shape[-1]
+    _check_real_n(n)
+    z = jax.lax.complex(x[..., 0::2].astype(jnp.float32),
+                        x[..., 1::2].astype(jnp.float32))
+    zf = _half_fft(z, False, backend, precision)
+    # planar split arithmetic throughout: eager complex scalar constants
+    # (e.g. -0.5j) and f32->c64 converts are UNIMPLEMENTED transfers on
+    # the axon backend (see utils/transfer.py)
+    zr, zi = jnp.real(zf), jnp.imag(zf)
+    zrr = jnp.roll(jnp.flip(zr, axis=-1), 1, axis=-1)    # Re Z[(L-k)%L]
+    zri = jnp.roll(jnp.flip(zi, axis=-1), 1, axis=-1)
+    er, ei = 0.5 * (zr + zrr), 0.5 * (zi - zri)          # (Z+conj(Zrev))/2
+    or_, oi = 0.5 * (zi + zri), 0.5 * (zrr - zr)         # -i(Z-conj)/2
+    wr, wi = _half_root_planar(n, False)
+    fr = er + wr * or_ - wi * oi                         # X[0..L-1]
+    fi = ei + wr * oi + wi * or_
+    dc = zr[..., :1] + zi[..., :1]
+    nyq = zr[..., :1] - zi[..., :1]
+    if packed:
+        return jax.lax.complex(
+            jnp.concatenate([dc, fr[..., 1:]], axis=-1),
+            jnp.concatenate([nyq, fi[..., 1:]], axis=-1))
+    zero = jnp.zeros_like(dc)
+    return jax.lax.complex(
+        jnp.concatenate([dc, fr[..., 1:], nyq], axis=-1),
+        jnp.concatenate([zero, fi[..., 1:], zero], axis=-1))
+
+
+def irfft_four_step(spec: jnp.ndarray, n: int, *, packed: bool = False,
+                    backend: str = "auto", precision: str | None = None,
+                    normalize: bool = False) -> jnp.ndarray:
+    """Huge-N C2R inverse of :func:`rfft_four_step`.  Returns the
+    reference's raw (N/2)-scaled signal
+    (SMFFT_Stockham_R2C_C2R/FFT.c:170-171) unless ``normalize``."""
+    _check_real_n(n)
+    L = n // 2
+    sr, si = jnp.real(spec), jnp.imag(spec)
+    zero = jnp.zeros_like(sr[..., :1])
+    if packed:
+        dc, nyq = sr[..., :1], si[..., :1]
+        br, bi = sr[..., 1:], si[..., 1:]
+    else:
+        dc, nyq = sr[..., :1], sr[..., L:L + 1]
+        br, bi = sr[..., 1:L], si[..., 1:L]
+    xr = jnp.concatenate([dc, br], axis=-1)              # X[0..L-1]
+    xi = jnp.concatenate([zero, bi], axis=-1)
+    mr = jnp.concatenate([nyq, jnp.flip(br, axis=-1)], axis=-1)
+    mi = jnp.concatenate([zero, jnp.flip(bi, axis=-1)], axis=-1)
+    # planar merge (same axon constraints as the forward):
+    # E = (X+conj(M))/2, O = (X-conj(M))/2 * W_N^{+k}, Z = E + iO
+    er, ei = 0.5 * (xr + mr), 0.5 * (xi - mi)
+    tr, ti = 0.5 * (xr - mr), 0.5 * (xi + mi)
+    wr, wi = _half_root_planar(n, True)
+    or_, oi = tr * wr - ti * wi, tr * wi + ti * wr
+    z = jax.lax.complex(er - oi, ei + or_)
+    zf = _half_fft(z, True, backend, precision)
+    out = jnp.stack([jnp.real(zf), jnp.imag(zf)], axis=-1).reshape(
+        spec.shape[:-1] + (n,))
+    if normalize:
+        out = out / L
+    return out
+
+
 def _row_fft(x: jnp.ndarray, inverse: bool, backend: str,
              precision: str | None) -> jnp.ndarray:
     """Ordered row transform; the inverse stays UNNORMALIZED (the 1/N of

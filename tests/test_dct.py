@@ -113,6 +113,106 @@ def test_dst2_ortho_is_orthonormal(rng):
 
 def test_bad_type_and_length():
     with pytest.raises(ValueError, match="type"):
-        D.dct(jnp.zeros((2, 256)), type=1)
+        D.dct(jnp.zeros((2, 256)), type=5)
     with pytest.raises(ValueError, match="wrong FFT length"):
         D.dct(jnp.zeros((2, 100)))
+
+
+# ---------------------------------------------------------------------------
+# types 1 and 4
+# ---------------------------------------------------------------------------
+
+def oracle_dct1(x):
+    n = x.shape[-1]
+    k, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    M = 2.0 * np.cos(np.pi * j * k / (n - 1.0))
+    M[:, 0] = 1.0
+    M[:, n - 1] = (-1.0) ** np.arange(n)
+    return x.astype(np.float64) @ M.T
+
+
+def oracle_dst1(x):
+    n = x.shape[-1]
+    k, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    M = 2.0 * np.sin(np.pi * (j + 1.0) * (k + 1.0) / (n + 1.0))
+    return x.astype(np.float64) @ M.T
+
+
+def oracle_dct4(x):
+    n = x.shape[-1]
+    k, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    M = 2.0 * np.cos(np.pi * (2 * j + 1.0) * (2 * k + 1.0) / (4.0 * n))
+    return x.astype(np.float64) @ M.T
+
+
+def oracle_dst4(x):
+    n = x.shape[-1]
+    k, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    M = 2.0 * np.sin(np.pi * (2 * j + 1.0) * (2 * k + 1.0) / (4.0 * n))
+    return x.astype(np.float64) @ M.T
+
+
+@pytest.mark.parametrize("n", [65, 257])
+def test_dct1_matches_oracle(rng, n):
+    x = (rng.random((3, n)) - 0.5).astype(np.float32)
+    got = np.asarray(D.dct(jnp.asarray(x), type=1))
+    assert np.max(np.abs(got - oracle_dct1(x))) < 1e-3 * np.sqrt(n)
+
+
+@pytest.mark.parametrize("n", [63, 255])
+def test_dst1_matches_oracle(rng, n):
+    x = (rng.random((3, n)) - 0.5).astype(np.float32)
+    got = np.asarray(D.dst(jnp.asarray(x), type=1))
+    assert np.max(np.abs(got - oracle_dst1(x))) < 1e-3 * np.sqrt(n)
+
+
+@pytest.mark.parametrize("n", [64, 256])
+def test_dct4_matches_oracle(rng, n):
+    x = (rng.random((3, n)) - 0.5).astype(np.float32)
+    got = np.asarray(D.dct(jnp.asarray(x), type=4))
+    assert np.max(np.abs(got - oracle_dct4(x))) < 1e-3 * np.sqrt(n)
+
+
+@pytest.mark.parametrize("n", [64, 256])
+def test_dst4_matches_oracle(rng, n):
+    x = (rng.random((3, n)) - 0.5).astype(np.float32)
+    got = np.asarray(D.dst(jnp.asarray(x), type=4))
+    assert np.max(np.abs(got - oracle_dst4(x))) < 1e-3 * np.sqrt(n)
+
+
+@pytest.mark.parametrize("type,n", [(1, 129), (4, 128)])
+@pytest.mark.parametrize("norm", [None, "ortho"])
+def test_dct14_roundtrip(rng, type, n, norm):
+    x = (rng.random((2, n)) - 0.5).astype(np.float32)
+    back = np.asarray(D.idct(D.dct(jnp.asarray(x), type=type, norm=norm),
+                             type=type, norm=norm))
+    assert np.max(np.abs(back - x)) < 2e-4
+
+
+@pytest.mark.parametrize("type,n", [(1, 127), (4, 128)])
+@pytest.mark.parametrize("norm", [None, "ortho"])
+def test_dst14_roundtrip(rng, type, n, norm):
+    x = (rng.random((2, n)) - 0.5).astype(np.float32)
+    back = np.asarray(D.idst(D.dst(jnp.asarray(x), type=type, norm=norm),
+                             type=type, norm=norm))
+    assert np.max(np.abs(back - x)) < 2e-4
+
+
+def test_dct14_ortho_is_orthonormal(rng):
+    """Parseval: the ortho type-1/4 transforms preserve the 2-norm."""
+    for type, nc, ns in ((1, 65, 63), (4, 64, 64)):
+        x = (rng.random(nc) - 0.5).astype(np.float32)
+        y = np.asarray(D.dct(jnp.asarray(x), type=type, norm="ortho"))
+        assert abs(np.sum(y * y) - np.sum(x * x)) < 1e-4 * nc
+        xs = (rng.random(ns) - 0.5).astype(np.float32)
+        ys = np.asarray(D.dst(jnp.asarray(xs), type=type, norm="ortho"))
+        assert abs(np.sum(ys * ys) - np.sum(xs * xs)) < 1e-4 * ns
+
+
+def test_type1_bad_lengths():
+    with pytest.raises(ValueError, match="wrong FFT length"):
+        D.dct(jnp.zeros(64, jnp.float32), type=1)    # needs 2^m + 1
+    with pytest.raises(ValueError, match="wrong FFT length"):
+        D.dst(jnp.zeros(64, jnp.float32), type=1)    # needs 2^m - 1
+    with pytest.raises(ValueError, match="wrong FFT length"):
+        D.dct(jnp.zeros(16384, jnp.float32), type=4)  # 2N beyond c2c cap

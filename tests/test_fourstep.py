@@ -119,6 +119,74 @@ def test_fourstep_pallas_interpret(rng):
 
 
 # ---------------------------------------------------------------------------
+# huge-N real transforms (rfft_large / irfft_large)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [1 << 15, 1 << 17])
+def test_rfft_large_matches_numpy(rng, n):
+    x = (rng.random(n) - 0.5).astype(np.float32)
+    got = S.rfft_large(jnp.array(x), backend="xla")
+    assert got.shape == (n // 2 + 1,)
+    assert rel_err(got, np.fft.rfft(x.astype(np.float64))) < 2e-6
+
+
+def test_rfft_large_batched_packed_layout(rng):
+    """Packed layout: [0] = DC + 1j*Nyquist, length N/2 (the reference's
+    slot-0 contract, FFT-GPU-32bit-Stockham.cu:332-340)."""
+    n = 1 << 15
+    x = (rng.random((3, n)) - 0.5).astype(np.float32)
+    got = np.asarray(S.rfft_large(jnp.array(x), backend="xla",
+                                  packed=True))
+    want = np.fft.rfft(x.astype(np.float64))
+    assert got.shape == (3, n // 2)
+    assert np.max(np.abs(got[:, 1:] - want[:, 1:n // 2])) < 1e-2
+    assert np.max(np.abs(got[:, 0].real - want[:, 0].real)) < 1e-2
+    assert np.max(np.abs(got[:, 0].imag - want[:, n // 2].real)) < 1e-2
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_irfft_large_roundtrip(rng, packed):
+    n = 1 << 16
+    x = (rng.random(n) - 0.5).astype(np.float32)
+    spec = S.rfft_large(jnp.array(x), backend="xla", packed=packed)
+    back = S.irfft_large(spec, n=n, backend="xla", packed=packed)
+    assert np.max(np.abs(np.asarray(back) - x)) < 2e-4
+
+
+def test_irfft_large_norm_none_is_half_n_scaled(rng):
+    """norm=None keeps the reference's raw (N/2)-scaled output
+    (SMFFT_Stockham_R2C_C2R/FFT.c:170-171)."""
+    n = 1 << 15
+    x = (rng.random(n) - 0.5).astype(np.float32)
+    spec = S.rfft_large(jnp.array(x), backend="xla")
+    raw = S.irfft_large(spec, n=n, backend="xla", norm=None)
+    assert np.max(np.abs(np.asarray(raw) / (n // 2) - x)) < 2e-4
+
+
+def test_rfft_large_small_sizes_route_to_rfft(rng):
+    n = 4096
+    x = (rng.random(n) - 0.5).astype(np.float32)
+    got = S.rfft_large(jnp.array(x), backend="xla")
+    assert rel_err(got, np.fft.rfft(x.astype(np.float64))) < 2e-6
+
+
+def test_rfft_large_rejects_bad_sizes():
+    with pytest.raises(ValueError, match="wrong FFT length"):
+        S.rfft_large(jnp.zeros(3 << 14, jnp.float32), backend="xla")
+
+
+def test_half_root_planar_exact():
+    """Split-table W_N^k matches the fp64 ground truth at a size where a
+    naive fp32 angle would lose precision."""
+    n = 1 << 22
+    wr, wi = fourstep._half_root_planar(n, False)
+    k = np.arange(0, n // 2, 4097, dtype=np.int64)
+    want = np.exp(-2j * np.pi * k.astype(np.float64) / n)
+    got = np.asarray(wr)[k] + 1j * np.asarray(wi)[k]
+    assert np.max(np.abs(got - want)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
 # distributed (8-device mesh, all_to_all)
 # ---------------------------------------------------------------------------
 
