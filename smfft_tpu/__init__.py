@@ -40,10 +40,12 @@ from smfft_tpu.signal import (fftconvolve, get_window, power_spectrum,
                               periodogram, welch, spectrogram, stft,
                               istft)
 from smfft_tpu.ndim import (fft2, ifft2, fftn, ifftn, rfft2, irfft2,
+                            rfftn, irfftn, hfft, ihfft,
                             fftshift, ifftshift, fftfreq, rfftfreq)
 from smfft_tpu.bluestein import (fft_any, ifft_any, rfft_any, irfft_any,
                                  czt, zoom_fft)
-from smfft_tpu.dct import dct, idct, dst, idst
+from smfft_tpu.dct import (dct, idct, dst, idst, dctn, idctn, dstn,
+                           idstn)
 from smfft_tpu.signal import (oaconvolve, fftcorrelate, hilbert, envelope,
                               resample)
 
@@ -99,4 +101,12 @@ __all__ = [
     "idct",
     "dst",
     "idst",
+    "dctn",
+    "idctn",
+    "dstn",
+    "idstn",
+    "rfftn",
+    "irfftn",
+    "hfft",
+    "ihfft",
 ]

@@ -334,3 +334,47 @@ def idst(x: jnp.ndarray, type: int = 2, norm: str | None = None,
         return (_dct2_raw(x * _signs(n), backend,
                           precision)[..., ::-1]) / np.float32(2.0 * n)
     raise ValueError(f"idst type {type} not supported (types 1-4)")
+
+
+# ---------------------------------------------------------------------------
+# N-D transforms (scipy.fft.dctn et al.): separable 1-D passes
+# ---------------------------------------------------------------------------
+
+def _apply_axes(x, axes, fn):
+    from smfft_tpu.ndim import _apply_last, _norm_axes
+    for ax in _norm_axes(x.ndim, axes):
+        x = _apply_last(x, ax, fn)
+    return x
+
+
+def dctn(x: jnp.ndarray, type: int = 2, axes=None,
+         norm: str | None = None, backend: api.Backend = "auto",
+         precision: str | None = None) -> jnp.ndarray:
+    """N-D DCT over ``axes`` (default all; scipy.fft.dctn) as separable
+    1-D passes, each one fused kernel pass."""
+    return _apply_axes(x, axes, lambda v: dct(
+        v, type=type, norm=norm, backend=backend, precision=precision))
+
+
+def idctn(x: jnp.ndarray, type: int = 2, axes=None,
+          norm: str | None = None, backend: api.Backend = "auto",
+          precision: str | None = None) -> jnp.ndarray:
+    """N-D inverse DCT (scipy.fft.idctn)."""
+    return _apply_axes(x, axes, lambda v: idct(
+        v, type=type, norm=norm, backend=backend, precision=precision))
+
+
+def dstn(x: jnp.ndarray, type: int = 2, axes=None,
+         norm: str | None = None, backend: api.Backend = "auto",
+         precision: str | None = None) -> jnp.ndarray:
+    """N-D DST over ``axes`` (scipy.fft.dstn)."""
+    return _apply_axes(x, axes, lambda v: dst(
+        v, type=type, norm=norm, backend=backend, precision=precision))
+
+
+def idstn(x: jnp.ndarray, type: int = 2, axes=None,
+          norm: str | None = None, backend: api.Backend = "auto",
+          precision: str | None = None) -> jnp.ndarray:
+    """N-D inverse DST (scipy.fft.idstn)."""
+    return _apply_axes(x, axes, lambda v: idst(
+        v, type=type, norm=norm, backend=backend, precision=precision))

@@ -103,6 +103,49 @@ def rfft2(x: jnp.ndarray, axes=(-2, -1), backend: api.Backend = "auto",
     return x
 
 
+def rfftn(x: jnp.ndarray, axes=None, backend: api.Backend = "auto",
+          precision: str | None = None) -> jnp.ndarray:
+    """N-D R2C FFT (numpy ``rfftn``): real kernel over the last given
+    axis (half-spectrum output), C2C over the rest.  Default: all axes.
+    The last transform axis must be the last array axis (where numpy
+    applies the real transform)."""
+    axes = _norm_axes(x.ndim, axes)
+    return rfft2(x, axes=axes, backend=backend, precision=precision)
+
+
+def irfftn(x: jnp.ndarray, n: int | None = None, axes=None,
+           backend: api.Backend = "auto", precision: str | None = None,
+           norm: str | None = "backward") -> jnp.ndarray:
+    """N-D C2R inverse FFT (numpy ``irfftn``), inverse of
+    :func:`rfftn`."""
+    axes = _norm_axes(x.ndim, axes)
+    return irfft2(x, n=n, axes=axes, backend=backend,
+                  precision=precision, norm=norm)
+
+
+def hfft(x: jnp.ndarray, n: int | None = None,
+         backend: api.Backend = "auto",
+         precision: str | None = None) -> jnp.ndarray:
+    """FFT of a Hermitian-symmetric signal given by its half-spectrum
+    (numpy ``hfft``): real (..., N) output from complex (..., N/2+1)
+    input.  Rides the fused C2R kernel via hfft(x) = N * irfft(conj(x))
+    (the two are adjoint up to conjugation)."""
+    if n is None:
+        n = (x.shape[-1] - 1) * 2
+    out = api.irfft(jnp.conj(x), n=n, backend=backend,
+                    precision=precision, norm=None)
+    return out * np.float32(2.0)           # raw irfft is (N/2)-scaled
+
+
+def ihfft(x: jnp.ndarray, backend: api.Backend = "auto",
+          precision: str | None = None) -> jnp.ndarray:
+    """Inverse of :func:`hfft` (numpy ``ihfft``): complex half-spectrum
+    (..., N/2+1) from real (..., N) input = conj(rfft(x)) / N."""
+    n = x.shape[-1]
+    return jnp.conj(api.rfft(x, backend=backend,
+                             precision=precision)) / np.float32(n)
+
+
 def irfft2(x: jnp.ndarray, n: int | None = None, axes=(-2, -1),
            backend: api.Backend = "auto", precision: str | None = None,
            norm: str | None = "backward") -> jnp.ndarray:

@@ -216,3 +216,44 @@ def test_type1_bad_lengths():
         D.dst(jnp.zeros(64, jnp.float32), type=1)    # needs 2^m - 1
     with pytest.raises(ValueError, match="wrong FFT length"):
         D.dct(jnp.zeros(16384, jnp.float32), type=4)  # 2N beyond c2c cap
+
+
+# ---------------------------------------------------------------------------
+# N-D (dctn / idctn / dstn / idstn)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("norm", [None, "ortho"])
+def test_dctn_separable_matches_axiswise(rng, norm):
+    x = (rng.random((64, 128)) - 0.5).astype(np.float32)
+    got = np.asarray(D.dctn(jnp.asarray(x), norm=norm))
+    step = oracle_dct2(x.astype(np.float64).T).T   # axis 0
+    want = oracle_dct2(step)                       # axis 1
+    if norm == "ortho":
+        s0 = np.full(64, np.sqrt(1 / 128.0)); s0[0] = np.sqrt(1 / 256.0)
+        s1 = np.full(128, np.sqrt(1 / 256.0)); s1[0] = np.sqrt(1 / 512.0)
+        want = want * s0[:, None] * s1[None, :]
+    assert np.max(np.abs(got - want)) < 1e-2
+
+
+@pytest.mark.parametrize("type", [1, 2, 3, 4])
+def test_dctn_idctn_roundtrip(rng, type):
+    n = 65 if type == 1 else 64
+    x = (rng.random((n, n)) - 0.5).astype(np.float32)
+    back = np.asarray(D.idctn(D.dctn(jnp.asarray(x), type=type),
+                              type=type))
+    assert np.max(np.abs(back - x)) < 2e-4
+
+
+def test_dstn_idstn_roundtrip(rng):
+    x = (rng.random((64, 64)) - 0.5).astype(np.float32)
+    back = np.asarray(D.idstn(D.dstn(jnp.asarray(x), type=2, norm="ortho"),
+                              type=2, norm="ortho"))
+    assert np.max(np.abs(back - x)) < 2e-4
+
+
+def test_dctn_axes_subset(rng):
+    """dctn over one axis == dct over that axis."""
+    x = (rng.random((3, 64, 128)) - 0.5).astype(np.float32)
+    got = np.asarray(D.dctn(jnp.asarray(x), axes=(1,)))
+    want = np.asarray(D.dct(jnp.asarray(np.swapaxes(x, 1, 2))))
+    assert np.max(np.abs(got - np.swapaxes(want, 1, 2))) < 1e-5

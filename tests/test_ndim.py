@@ -91,3 +91,48 @@ def test_shift_and_freq_helpers():
                        np.fft.fftfreq(64, 0.5))
     assert np.allclose(np.asarray(ndim.rfftfreq(64, 2.0)),
                        np.fft.rfftfreq(64, 2.0))
+
+
+# ---------------------------------------------------------------------------
+# rfftn / irfftn / hfft / ihfft
+# ---------------------------------------------------------------------------
+
+def test_rfftn_matches_numpy(rng):
+    x = (rng.random((32, 64, 128)) - 0.5).astype(np.float32)
+    got = np.asarray(ndim.rfftn(jnp.asarray(x), backend="xla"))
+    want = np.fft.rfftn(x.astype(np.float64))
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) < 1e-2
+
+
+def test_irfftn_roundtrip(rng):
+    x = (rng.random((2, 64, 128)) - 0.5).astype(np.float32)
+    spec = ndim.rfftn(jnp.asarray(x), axes=(-2, -1), backend="xla")
+    back = np.asarray(ndim.irfftn(spec, axes=(-2, -1), backend="xla"))
+    assert np.max(np.abs(back - x)) < 1e-4
+
+
+def test_hfft_matches_numpy(rng):
+    n = 256
+    spec = (rng.random((3, n // 2 + 1)) - 0.5
+            + 1j * (rng.random((3, n // 2 + 1)) - 0.5)).astype(np.complex64)
+    got = np.asarray(ndim.hfft(jnp.asarray(spec), backend="xla"))
+    want = np.fft.hfft(spec.astype(np.complex128))
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) < 1e-3
+
+
+def test_ihfft_matches_numpy(rng):
+    n = 256
+    x = (rng.random((3, n)) - 0.5).astype(np.float32)
+    got = np.asarray(ndim.ihfft(jnp.asarray(x), backend="xla"))
+    want = np.fft.ihfft(x.astype(np.float64))
+    assert np.max(np.abs(got - want)) < 1e-5
+
+
+def test_hfft_ihfft_roundtrip(rng):
+    n = 512
+    x = (rng.random((2, n)) - 0.5).astype(np.float32)
+    back = np.asarray(ndim.hfft(ndim.ihfft(jnp.asarray(x), backend="xla"),
+                             backend="xla"))
+    assert np.max(np.abs(back - x)) < 1e-4
