@@ -419,6 +419,10 @@ def ifft_large(x: jnp.ndarray, backend: Backend = "auto",
                norm: str | None = "backward") -> jnp.ndarray:
     """Inverse of :func:`fft_large`.  ``norm="backward"`` divides by N
     (numpy); ``norm=None`` is the reference's raw unnormalized inverse."""
+    if norm not in ("backward", None):
+        raise ValueError(
+            f"ifft_large supports norm='backward' (numpy) or norm=None "
+            f"(raw reference scale); got {norm!r}")
     n = x.shape[-1]
     if n in P.SUPPORTED_C2C_SIZES:
         return ifft(x, backend=backend, precision=precision, norm=norm)
@@ -439,8 +443,11 @@ def rfft_large(x: jnp.ndarray, backend: Backend = "auto",
     Sizes <= 16384 route to :func:`rfft` / :func:`fft_packed_real`."""
     n = x.shape[-1]
     if n in P.SUPPORTED_REAL_SIZES:
-        return _rfft_impl(x, _resolve_backend(backend),
-                          _resolve_precision(precision), packed)
+        # route through the public wrappers so the custom-VJP autodiff
+        # path is identical to rfft/fft_packed_real (ADVICE r3)
+        if packed:
+            return fft_packed_real(x, backend=backend, precision=precision)
+        return rfft(x, backend=backend, precision=precision)
     from smfft_tpu.ops import fourstep
     return fourstep.rfft_four_step(x, packed=packed, backend=backend,
                                    precision=precision)
@@ -453,6 +460,10 @@ def irfft_large(x: jnp.ndarray, n: int | None = None,
     """Inverse of :func:`rfft_large`.  ``norm="backward"`` returns the
     signal (numpy); ``norm=None`` keeps the reference's raw (N/2)-scaled
     output (SMFFT_Stockham_R2C_C2R/FFT.c:170-171)."""
+    if norm not in ("backward", None):
+        raise ValueError(
+            f"irfft_large supports norm='backward' (numpy) or norm=None "
+            f"(raw reference scale); got {norm!r}")
     if n is None:
         n = (x.shape[-1] - 1) * 2 if not packed else x.shape[-1] * 2
     if n in P.SUPPORTED_REAL_SIZES:

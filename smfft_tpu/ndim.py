@@ -88,14 +88,19 @@ def ifft2(x: jnp.ndarray, axes=(-2, -1), backend: api.Backend = "auto",
                  norm=norm)
 
 
+def _check_real_last_axis(ndim: int, axes, fname: str):
+    if axes[-1] != ndim - 1:
+        raise ValueError(f"{fname} requires the last transform axis to "
+                         f"be the last array axis (numpy applies the "
+                         f"real transform there)")
+
+
 def rfft2(x: jnp.ndarray, axes=(-2, -1), backend: api.Backend = "auto",
           precision: str | None = None) -> jnp.ndarray:
     """2-D R2C FFT (numpy ``rfft2``): real kernel over ``axes[-1]``
     (half-spectrum output), C2C over the remaining axes."""
     axes = _norm_axes(x.ndim, axes)
-    if axes[-1] != x.ndim - 1:
-        raise ValueError("rfft2 requires the last transform axis to be "
-                         "the last array axis (numpy applies rfft there)")
+    _check_real_last_axis(x.ndim, axes, "rfft2")
     x = api.rfft(x, backend=backend, precision=precision)
     for ax in axes[:-1]:
         x = _apply_last(x, ax, lambda v: api.fft(
@@ -110,6 +115,7 @@ def rfftn(x: jnp.ndarray, axes=None, backend: api.Backend = "auto",
     The last transform axis must be the last array axis (where numpy
     applies the real transform)."""
     axes = _norm_axes(x.ndim, axes)
+    _check_real_last_axis(x.ndim, axes, "rfftn")
     return rfft2(x, axes=axes, backend=backend, precision=precision)
 
 
@@ -119,31 +125,68 @@ def irfftn(x: jnp.ndarray, n: int | None = None, axes=None,
     """N-D C2R inverse FFT (numpy ``irfftn``), inverse of
     :func:`rfftn`."""
     axes = _norm_axes(x.ndim, axes)
+    _check_real_last_axis(x.ndim, axes, "irfftn")
     return irfft2(x, n=n, axes=axes, backend=backend,
                   precision=precision, norm=norm)
 
 
-def hfft(x: jnp.ndarray, n: int | None = None,
+def _fit_last(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    """numpy's n-parameter semantics: zero-pad or truncate the last axis
+    to length m before transforming."""
+    k = x.shape[-1]
+    if k == m:
+        return x
+    if k > m:
+        return x[..., :m]
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, m - k)]
+    return jnp.pad(x, pad)
+
+
+def _norm_scale(norm: str | None, n: int, forward: bool) -> float:
+    """numpy norm conventions as a scalar factor on top of an
+    UNNORMALIZED transform of length n (forward=True for the
+    forward-like direction: fft/hfft; False for ifft/ihfft)."""
+    if norm in (None, "backward"):
+        return 1.0 if forward else 1.0 / n
+    if norm == "ortho":
+        return 1.0 / float(np.sqrt(n))
+    if norm == "forward":
+        return 1.0 / n if forward else 1.0
+    raise ValueError(f"invalid norm value {norm!r}; expected None, "
+                     f"'backward', 'ortho' or 'forward'")
+
+
+def hfft(x: jnp.ndarray, n: int | None = None, norm: str | None = None,
          backend: api.Backend = "auto",
          precision: str | None = None) -> jnp.ndarray:
     """FFT of a Hermitian-symmetric signal given by its half-spectrum
-    (numpy ``hfft``): real (..., N) output from complex (..., N/2+1)
+    (numpy ``hfft``): real (..., n) output from complex (..., n/2+1)
     input.  Rides the fused C2R kernel via hfft(x) = N * irfft(conj(x))
-    (the two are adjoint up to conjugation)."""
+    (the two are adjoint up to conjugation).  ``n`` pads/truncates the
+    half-spectrum input to n/2+1 points; ``norm`` follows numpy
+    ("backward"/"ortho"/"forward")."""
     if n is None:
         n = (x.shape[-1] - 1) * 2
+    scale = _norm_scale(norm, n, forward=True)
+    x = _fit_last(x, n // 2 + 1)
     out = api.irfft(jnp.conj(x), n=n, backend=backend,
                     precision=precision, norm=None)
-    return out * np.float32(2.0)           # raw irfft is (N/2)-scaled
+    return out * np.float32(2.0 * scale)   # raw irfft is (N/2)-scaled
 
 
-def ihfft(x: jnp.ndarray, backend: api.Backend = "auto",
+def ihfft(x: jnp.ndarray, n: int | None = None, norm: str | None = None,
+          backend: api.Backend = "auto",
           precision: str | None = None) -> jnp.ndarray:
     """Inverse of :func:`hfft` (numpy ``ihfft``): complex half-spectrum
-    (..., N/2+1) from real (..., N) input = conj(rfft(x)) / N."""
-    n = x.shape[-1]
+    (..., n/2+1) from real (..., n) input = conj(rfft(x)) / n.  ``n``
+    pads/truncates the real input (numpy semantics); ``norm`` follows
+    numpy ("backward"/"ortho"/"forward")."""
+    if n is None:
+        n = x.shape[-1]
+    scale = _norm_scale(norm, n, forward=False)
+    x = _fit_last(x, n)
     return jnp.conj(api.rfft(x, backend=backend,
-                             precision=precision)) / np.float32(n)
+                             precision=precision)) * np.float32(scale)
 
 
 def irfft2(x: jnp.ndarray, n: int | None = None, axes=(-2, -1),

@@ -284,3 +284,20 @@ def test_distributed_pallas_interpret(rng):
         assert rel_err(got, np.fft.fft(x.astype(np.complex128))) < 2e-6
     finally:
         PC.set_interpret(False)
+
+
+def test_large_rejects_bad_norm():
+    with pytest.raises(ValueError, match="norm"):
+        S.ifft_large(jnp.zeros(1 << 15, jnp.complex64), norm="ortho")
+    with pytest.raises(ValueError, match="norm"):
+        S.irfft_large(jnp.zeros((1 << 14) + 1, jnp.complex64),
+                      norm="ortho")
+
+
+def test_rfft_large_small_sizes_differentiable(rng):
+    # small sizes must route through the custom-VJP wrappers (ADVICE r3)
+    import jax
+    x = jnp.asarray(rng.standard_normal(1024).astype(np.float32))
+    g = jax.grad(lambda v: jnp.sum(jnp.abs(S.rfft_large(v, backend="xla"))
+                                   ** 2))(x)
+    assert g.shape == x.shape and bool(jnp.all(jnp.isfinite(g)))

@@ -136,3 +136,39 @@ def test_hfft_ihfft_roundtrip(rng):
     back = np.asarray(ndim.hfft(ndim.ihfft(jnp.asarray(x), backend="xla"),
                              backend="xla"))
     assert np.max(np.abs(back - x)) < 1e-4
+
+
+def test_hfft_norm_and_n_match_numpy(rng):
+    x = (rng.standard_normal((3, 513)) + 1j * rng.standard_normal((3, 513))
+         ).astype(np.complex64)
+    for n, norm in [(1024, "ortho"), (1024, "forward"), (2048, None),
+                    (512, "backward")]:
+        got = np.asarray(ndim.hfft(jnp.asarray(x), n=n, norm=norm,
+                                   backend="xla"))
+        want = np.fft.hfft(x.astype(np.complex128), n=n, norm=norm)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-3 * np.sqrt(n))
+
+
+def test_ihfft_norm_and_n_match_numpy(rng):
+    x = rng.standard_normal((3, 1000)).astype(np.float32)
+    for n, norm in [(1024, "ortho"), (1024, "forward"), (512, None)]:
+        got = np.asarray(ndim.ihfft(jnp.asarray(x), n=n, norm=norm,
+                                    backend="xla"))
+        want = np.fft.ihfft(x.astype(np.float64), n=n, norm=norm)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_hfft_rejects_bad_norm(rng):
+    x = jnp.zeros((2, 513), jnp.complex64)
+    with pytest.raises(ValueError, match="norm"):
+        ndim.hfft(x, norm="bogus", backend="xla")
+
+
+def test_rfftn_error_names_rfftn():
+    x = jnp.zeros((8, 1024), jnp.float32)
+    with pytest.raises(ValueError, match="rfftn"):
+        ndim.rfftn(x, axes=(1, 0))
+    with pytest.raises(ValueError, match="irfftn"):
+        ndim.irfftn(jnp.zeros((8, 513), jnp.complex64), axes=(1, 0))
