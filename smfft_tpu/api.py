@@ -427,11 +427,10 @@ def ifft_large(x: jnp.ndarray, backend: Backend = "auto",
     if n in P.SUPPORTED_C2C_SIZES:
         return ifft(x, backend=backend, precision=precision, norm=norm)
     from smfft_tpu.ops import fourstep
-    out = fourstep.fft_four_step(x, inverse=True, backend=backend,
-                                 precision=precision)
-    if norm == "backward":
-        out = out / n
-    return out
+    return fourstep.fft_four_step(x, inverse=True, backend=backend,
+                                  precision=precision,
+                                  scale=1.0 / n if norm == "backward"
+                                  else 1.0)
 
 
 def rfft_large(x: jnp.ndarray, backend: Backend = "auto",

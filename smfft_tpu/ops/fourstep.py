@@ -145,9 +145,24 @@ def rfft_four_step(x: jnp.ndarray, *, packed: bool = False,
     (four-step above the row cap) -> Hermitian split with EXACT W_N^k
     twiddles from the hi/lo tables.  Real (..., N) -> complex
     (..., N/2+1) numpy layout, or the reference's packed (..., N/2)
-    layout with out[..., 0] = DC + 1j*Nyquist."""
+    layout with out[..., 0] = DC + 1j*Nyquist.
+
+    On the pallas backend the pack trick runs FUSED (ops/real_fused.py:
+    one Pallas Hermitian-split pass over the fused four-step, the
+    mirror via exact permutation matmuls); the XLA path below is the
+    portable fallback and the semantic spec."""
+    from smfft_tpu import api
     n = x.shape[-1]
     _check_real_n(n)
+    if api._resolve_backend(backend) == "pallas":
+        from smfft_tpu.ops import real_fused
+        hr, hi = real_fused.rfft_large_planar(x, precision=precision)
+        if packed:
+            return jax.lax.complex(hr, hi)
+        zero = jnp.zeros_like(hr[..., :1])
+        return jax.lax.complex(
+            jnp.concatenate([hr[..., :1], hr[..., 1:], hi[..., :1]], -1),
+            jnp.concatenate([zero, hi[..., 1:], zero], -1))
     z = jax.lax.complex(x[..., 0::2].astype(jnp.float32),
                         x[..., 1::2].astype(jnp.float32))
     zf = _half_fft(z, False, backend, precision)
@@ -179,9 +194,24 @@ def irfft_four_step(spec: jnp.ndarray, n: int, *, packed: bool = False,
                     normalize: bool = False) -> jnp.ndarray:
     """Huge-N C2R inverse of :func:`rfft_four_step`.  Returns the
     reference's raw (N/2)-scaled signal
-    (SMFFT_Stockham_R2C_C2R/FFT.c:170-171) unless ``normalize``."""
+    (SMFFT_Stockham_R2C_C2R/FFT.c:170-171) unless ``normalize``.
+
+    Pallas backend: fused merge pass + fused four-step inverse
+    (ops/real_fused.py); the XLA path below is the portable spec."""
+    from smfft_tpu import api
     _check_real_n(n)
     L = n // 2
+    if api._resolve_backend(backend) == "pallas":
+        from smfft_tpu.ops import real_fused
+        sr, si = jnp.real(spec), jnp.imag(spec)
+        if packed:
+            hr, hi = sr, si
+        else:
+            hr = sr[..., :L]
+            hi = jnp.concatenate([sr[..., L:L + 1], si[..., 1:L]], -1)
+        return real_fused.irfft_large_planar(hr, hi, n,
+                                             precision=precision,
+                                             normalize=normalize)
     sr, si = jnp.real(spec), jnp.imag(spec)
     zero = jnp.zeros_like(sr[..., :1])
     if packed:
@@ -221,15 +251,31 @@ def _row_fft(x: jnp.ndarray, inverse: bool, backend: str,
 
 def fft_four_step(x: jnp.ndarray, *, inverse: bool = False,
                   backend: str = "auto", precision: str | None = None,
-                  factors: tuple[int, int] | None = None) -> jnp.ndarray:
+                  factors: tuple[int, int] | None = None,
+                  scale: float = 1.0) -> jnp.ndarray:
     """Single-device C2C FFT over the last axis for huge power-of-two N
     (beyond the 16384 row-kernel cap, up to 2**28) via the four-step
     decomposition.  Batched over any leading axes.  Unnormalized both
-    directions (api.fft_large/ifft_large add numpy norms on top)."""
+    directions unless ``scale`` (a power of two, e.g. 1/N for numpy
+    backward-norm inverses) is given — the fused path folds it into the
+    twiddle tables for free.
+
+    On the pallas backend this routes to the FUSED implementations
+    (ops/rowfour.py single-pass for 2**15..2**17, ops/fourstep_fused.py
+    two-pass beyond) — planar fp32 Pallas passes with in-VMEM
+    transposes; the XLA-glue decomposition below is the portable
+    fallback and the semantic spec."""
+    from smfft_tpu import api
     n = x.shape[-1]
     n1, n2 = factors if factors is not None else split_factors(n)
     if n1 * n2 != n:
         raise ValueError(f"factors {n1}*{n2} != N={n}")
+    if factors is None and api._resolve_backend(backend) == "pallas":
+        from smfft_tpu.ops import fourstep_fused
+        o_r, o_i = fourstep_fused.dispatch_planar(
+            jnp.real(x), jnp.imag(x), inverse=inverse,
+            precision=precision, scale=scale)
+        return jax.lax.complex(o_r, o_i)
     a = x.reshape(x.shape[:-1] + (n1, n2))
     # columns -> rows: FFT over n1
     b = _row_fft(jnp.swapaxes(a, -1, -2), inverse, backend, precision)
@@ -237,4 +283,5 @@ def fft_four_step(x: jnp.ndarray, *, inverse: bool = False,
     # columns -> rows: FFT over n2
     c = _row_fft(jnp.swapaxes(b, -1, -2), inverse, backend, precision)
     # X[k2*N1 + k1] = C[k1, k2]
-    return jnp.swapaxes(c, -1, -2).reshape(x.shape[:-1] + (n,))
+    out = jnp.swapaxes(c, -1, -2).reshape(x.shape[:-1] + (n,))
+    return out * scale if scale != 1.0 else out

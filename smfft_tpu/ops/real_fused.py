@@ -1,0 +1,287 @@
+"""Fused huge-N real transforms: rfft_large / irfft_large as Pallas
+passes over the fused four-step (ops/fourstep_fused.py dispatch).
+
+The round-3 huge-N real path (ops/fourstep.py rfft_four_step) ran the
+Hermitian split as unfused XLA — jnp.flip / jnp.roll / concatenate over
+multi-MB rows plus a strided deinterleave, every op at the ~170-230 GB/s
+complex64/relayout toll — and measured 3.2 GB/s effective at N = 2**21
+(BENCH_r03).  This module is the TPU-native rebuild on the reference's
+pack trick (SMFFT_Stockham_R2C_C2R/FFT-GPU-32bit-Stockham.cu:269-344):
+
+    forward:  z[t] = x[2t] + i x[2t+1]  (one XLA deinterleave)
+              Z = fused four-step FFT over L = N/2
+              ONE Pallas split pass:  X[k] = E[k] + W_N^k O[k]
+                 E = (Z + conj(Zm))/2,  O = -i(Z - conj(Zm))/2,
+                 Zm[k] = Z[(L-k) % L]
+              out[0] = (DC, Nyquist) packed  (reference slot-0 layout)
+    inverse:  ONE Pallas merge pass (the mirrored pre-process,
+              sign-flipped one_half — reference :278-287)
+              z = fused four-step inverse over L (scale folded in)
+              interleave x[2t] = Re z, x[2t+1] = Im z  (one XLA pass)
+
+The split pass reads block j and its mirror block nb-1-j of Z, so it
+costs 1.5 stream passes (2 reads + 1 write per array).
+
+Hermitian mirror without lax.rev: Mosaic has no reverse primitive, so
+the in-tile lane reversal is an EXACT permutation matmul — the
+anti-identity R (128, 128) is 0/1 and therefore exact in bf16, and the
+fp32 data is split hi/mid/lo into three bf16 passes (8+8+8 = 24
+mantissa bits, a lossless decomposition), so rev(x) = (h + m + l) @ R
+reconstructs x's bits exactly while the MXU does the shuffle (~128
+MACs/point, far above the HBM-bound pass rate).  Chunks of 128 lanes
+are reordered with static slices; the one element that straddles each
+mirrored block boundary (Z[L - jT]) rides in from a tiny XLA-gathered
+side table of block-first elements.
+
+Twiddle exactness: W_N^k for k = c*T + t splits exactly as
+W_N^(cT) * W_N^t — two fp64-computed fp32-rounded tables of nb and T
+entries (same discipline as ops/fourstep_fused.py's lane-digit split).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from smfft_tpu.ops import pallas_c2c as _pc
+
+LANES = 128
+
+#: lane-tile width of the split/merge pass blocks.
+_T = 512
+
+
+def _rev128_bf16() -> np.ndarray:
+    """Anti-identity permutation matrix (128, 128), exact in bf16."""
+    return np.eye(LANES, dtype=np.float32)[::-1].astype(jnp.bfloat16)
+
+
+def _split_bf16_3(x):
+    """Lossless fp32 -> (hi, mid, lo) bf16 triple: 8+8+8 mantissa bits
+    cover fp32's 24, so hi + mid + lo reconstructs x exactly."""
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _lane_reverse(x: jnp.ndarray, rmat: jnp.ndarray, t: int):
+    """Exact lane reversal of (sb, t) fp32 via chunk reorder + bf16x3
+    permutation matmul (see module docstring)."""
+    c = t // LANES
+    if c > 1:
+        x = jnp.concatenate(
+            [x[:, i * LANES:(i + 1) * LANES] for i in range(c - 1, -1, -1)],
+            axis=-1)
+    xs = x.reshape(-1, c, LANES) if c > 1 else x[:, None, :]
+    h, m, l = _split_bf16_3(xs)
+    dims = (((2,), (0,)), ((), ()))
+    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                            preferred_element_type=jnp.float32)
+    y = dot(h, rmat) + dot(m, rmat) + dot(l, rmat)
+    return y.reshape(x.shape)
+
+
+def _w_tables(n: int, t: int, nb: int, inverse: bool):
+    """fp32 ((1, nb), (1, t)) x (re, im) tables with
+    W_N^(c*t + u) == Whi[c] * Wlo[u], fp64-computed fp32-rounded."""
+    sign = 2j * np.pi / n if inverse else -2j * np.pi / n
+    hi = np.exp(sign * (np.arange(nb, dtype=np.int64) * t))[None]
+    lo = np.exp(sign * np.arange(t, dtype=np.int64))[None]
+    return (hi.real.astype(np.float32), hi.imag.astype(np.float32),
+            lo.real.astype(np.float32), lo.imag.astype(np.float32))
+
+
+def _firsts(z: jnp.ndarray, t: int):
+    """(B, nb) side table F[:, j] = z[:, (L - j*t) % L] — the one mirror
+    element per block that straddles the reversed block boundary."""
+    f = z[:, ::t]
+    return jnp.concatenate([f[:, :1], f[:, :0:-1]], axis=-1)
+
+
+def _mask0(val_r, val_i, new_r, new_i):
+    """Replace lane 0 of (sb, T) with new (sb, 1) values."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, val_r.shape, 1)
+    return (jnp.where(lane == 0, new_r, val_r),
+            jnp.where(lane == 0, new_i, val_i))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_split(n: int, sb: int, t: int, inverse: bool):
+    """The Hermitian split (forward) / merge (inverse) pass over packed
+    rows of length L = n // 2.  Grid (B // sb, L // t).
+
+    Forward consumes Z = FFT_L(packed x) and emits the reference packed
+    half-spectrum (slot 0 = DC + i*Nyq).  Inverse consumes the packed
+    half-spectrum and emits the pre-processed z whose inverse FFT_L is
+    the packed signal."""
+    from smfft_tpu.config import debug_print
+    debug_print(f"build real_fused split: n={n} sb={sb} t={t} "
+                f"inverse={inverse}")
+    L = n // 2
+    nb = L // t
+
+    def kernel(a_r, a_i, m_r, m_i, fr, fi, whr, whi, wlr, wli, rmat,
+               o_r, o_i):
+        j = pl.program_id(1)
+        ar, ai = a_r[:], a_i[:]
+        # mirror[c] = Z[(L - j*t - c) % L]: side element, then the
+        # reversed mirror block shifted by one lane
+        mrr = _lane_reverse(m_r[:], rmat[:], t)
+        mri = _lane_reverse(m_i[:], rmat[:], t)
+        fjr = fr[:, pl.ds(j, 1)]        # ref-level dynamic lane slice
+        fji = fi[:, pl.ds(j, 1)]
+        mr = jnp.concatenate([fjr, mrr[:, :t - 1]], axis=-1)
+        mi = jnp.concatenate([fji, mri[:, :t - 1]], axis=-1)
+        # W_N^k for k in this block: exact hi/lo split product
+        whr_j = whr[:, pl.ds(j, 1)]
+        whi_j = whi[:, pl.ds(j, 1)]
+        wr = whr_j * wlr[:] - whi_j * wli[:]
+        wi = whr_j * wli[:] + whi_j * wlr[:]
+        if not inverse:
+            # E = (Z + conj(M))/2, O = -i(Z - conj(M))/2, X = E + W*O
+            er, ei = 0.5 * (ar + mr), 0.5 * (ai - mi)
+            or_, oi = 0.5 * (ai + mi), 0.5 * (mr - ar)
+            xr = er + wr * or_ - wi * oi
+            xi = ei + wr * oi + wi * or_
+            # slot 0 of block 0: DC = Zr0 + Zi0, Nyq = Zr0 - Zi0
+            @pl.when(j == 0)
+            def _():
+                dcr = ar[:, :1] + ai[:, :1]
+                dci = ar[:, :1] - ai[:, :1]
+                r0, i0 = _mask0(xr, xi, dcr, dci)
+                o_r[:], o_i[:] = r0, i0
+            @pl.when(j != 0)
+            def _():
+                o_r[:], o_i[:] = xr, xi
+        else:
+            # X row carries the packed spectrum; M row its mirror.
+            # slot 0: X[0] = DC (real), M[0] = Nyq (real) — fix both in
+            # block 0 before the shared merge arithmetic.
+            @pl.when(j == 0)
+            def _():
+                dc = ar[:, :1]
+                nyq = ai[:, :1]
+                ar0, ai0 = _mask0(ar, ai, dc, jnp.zeros_like(dc))
+                mr0, mi0 = _mask0(mr, mi, nyq, jnp.zeros_like(nyq))
+                zr, zi = _merge(ar0, ai0, mr0, mi0, wr, wi)
+                o_r[:], o_i[:] = zr, zi
+            @pl.when(j != 0)
+            def _():
+                # mirror side of slot 0 is block 0's lane 0 (already the
+                # DC+iNyq pack); M[k] for k >= 1 never touches slot 0
+                zr, zi = _merge(ar, ai, mr, mi, wr, wi)
+                o_r[:], o_i[:] = zr, zi
+
+    def _merge(xr, xi, mr, mi, wr, wi):
+        # E = (X + conj(M))/2, Ot = (X - conj(M))/2, O = Ot * W^{+k},
+        # z = E + iO   (W here is the INVERSE-sign table)
+        er, ei = 0.5 * (xr + mr), 0.5 * (xi - mi)
+        tr, ti = 0.5 * (xr - mr), 0.5 * (xi + mi)
+        or_, oi = tr * wr - ti * wi, tr * wi + ti * wr
+        return er - oi, ei + or_
+
+    spec_j = pl.BlockSpec((sb, t), lambda b, j: (b, j),
+                          memory_space=pltpu.VMEM)
+    spec_m = pl.BlockSpec((sb, t), lambda b, j: (b, nb - 1 - j),
+                          memory_space=pltpu.VMEM)
+    spec_f = pl.BlockSpec((sb, nb), lambda b, j: (b, 0),
+                          memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    w_np = _w_tables(n, t, nb, inverse)
+    rmat = _rev128_bf16()
+
+    @jax.jit
+    def run(ar, ai):
+        b = ar.shape[0]
+        fr, fi = _firsts(ar, t), _firsts(ai, t)
+        cost = pl.CostEstimate(flops=40 * b * L,
+                               bytes_accessed=b * L * 4 * 6,
+                               transcendentals=0)
+        compiler_params = None
+        if not _pc._INTERPRET:
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+                dimension_semantics=("parallel", "arbitrary"))
+        return pl.pallas_call(
+            kernel, grid=(b // sb, nb),
+            in_specs=[spec_j, spec_j, spec_m, spec_m, spec_f, spec_f,
+                      full, full, full, full, full],
+            out_specs=(spec_j, spec_j),
+            out_shape=(jax.ShapeDtypeStruct((b, L), jnp.float32),) * 2,
+            cost_estimate=cost, compiler_params=compiler_params,
+            interpret=_pc._INTERPRET,
+        )(ar, ai, ar, ai, fr, fi,
+          *(jnp.asarray(w) for w in w_np), jnp.asarray(rmat))
+    return run
+
+
+def _pad_rows(vr, vi, sb):
+    b = vr.shape[0]
+    pad = (-b) % sb
+    if pad:
+        z = jnp.zeros((pad, vr.shape[1]), jnp.float32)
+        vr = jnp.concatenate([vr, z])
+        vi = jnp.concatenate([vi, z])
+    return vr, vi, b
+
+
+def _split_tile(L: int) -> int:
+    t = _T
+    while L % t or L // t < 1:
+        t //= 2
+    return max(LANES, t)
+
+
+def rfft_large_planar(x: jnp.ndarray, *, precision: str | None = None):
+    """Huge-N planar R2C: real (..., N) -> packed planar half-spectrum
+    pair (..., N/2) with slot 0 = (DC, Nyquist) — the reference packed
+    layout at four-step scale.  N = 2**16..2**29 (power of two);
+    unnormalized (matches rfft)."""
+    n = x.shape[-1]
+    batch = x.shape[:-1]
+    L = n // 2
+    x = jnp.asarray(x, jnp.float32).reshape(-1, L, 2)
+    zr, zi = x[..., 0], x[..., 1]
+    from smfft_tpu.ops import fourstep_fused
+    Zr, Zi = fourstep_fused.dispatch_planar(zr, zi, precision=precision)
+    t = _split_tile(L)
+    sb = 8 if Zr.shape[0] >= 8 else Zr.shape[0]
+    Zr, Zi, b = _pad_rows(Zr, Zi, sb)
+    hr, hi = _build_split(n, sb, t, False)(Zr, Zi)
+    return (hr[:b].reshape(batch + (L,)), hi[:b].reshape(batch + (L,)))
+
+
+def irfft_large_planar(hr: jnp.ndarray, hi: jnp.ndarray, n: int, *,
+                       precision: str | None = None,
+                       normalize: bool = True):
+    """Huge-N planar C2R: packed half-spectrum pair (..., N/2) -> real
+    (..., N).  ``normalize`` divides by N/2 (numpy signal);
+    ``normalize=False`` keeps the reference's raw (N/2)-scale
+    (SMFFT_Stockham_R2C_C2R/FFT.c:170-171)."""
+    if hr.shape != hi.shape:
+        raise ValueError(f"planar pair shapes differ: {hr.shape} vs "
+                         f"{hi.shape}")
+    L = n // 2
+    if hr.shape[-1] != L:
+        raise ValueError(f"packed half-spectrum needs {L} lanes for "
+                         f"N={n}, got {hr.shape[-1]}")
+    batch = hr.shape[:-1]
+    hr = jnp.asarray(hr, jnp.float32).reshape(-1, L)
+    hi = jnp.asarray(hi, jnp.float32).reshape(-1, L)
+    t = _split_tile(L)
+    sb = 8 if hr.shape[0] >= 8 else hr.shape[0]
+    hr, hi, b = _pad_rows(hr, hi, sb)
+    zr, zi = _build_split(n, sb, t, True)(hr, hi)
+    from smfft_tpu.ops import fourstep_fused
+    xr, xi = fourstep_fused.dispatch_planar(
+        zr[:b], zi[:b], inverse=True, precision=precision,
+        scale=1.0 / L if normalize else 1.0)
+    out = jnp.stack([xr, xi], axis=-1).reshape((-1, n))
+    return out.reshape(batch + (n,))

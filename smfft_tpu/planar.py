@@ -142,6 +142,87 @@ def irfft(vr: jnp.ndarray, vi: jnp.ndarray, n: int | None = None,
     return out.reshape(batch + (n,))
 
 
+def fft_large(vr: jnp.ndarray, vi: jnp.ndarray,
+              precision: str | None = None):
+    """Planar huge-N forward C2C FFT (N = 2**15..2**28, natural order),
+    zero conversion passes: N = 2**15..2**17 run as ONE fused HBM pass
+    (ops/rowfour.py); larger N as two fused passes (ops/fourstep_fused
+    .py) — all transposes in VMEM, the inter-factor twiddle fused into
+    pass 1's epilogue.  Row sizes (N <= 16384) route to :func:`fft`."""
+    _check_pair(vr, vi)
+    from smfft_tpu.ops import fourstep_fused
+    from smfft_tpu.ops.fourstep import split_factors
+    n = vr.shape[-1]
+    if n not in P.SUPPORTED_C2C_SIZES:
+        split_factors(n)   # raises the reference-style size error
+    return fourstep_fused.dispatch_planar(
+        jnp.asarray(vr, jnp.float32), jnp.asarray(vi, jnp.float32),
+        precision=precision)
+
+
+def ifft_large(vr: jnp.ndarray, vi: jnp.ndarray,
+               precision: str | None = None,
+               norm: str | None = "backward"):
+    """Planar huge-N inverse C2C FFT; ``norm="backward"`` folds the 1/N
+    into the fused twiddle tables (free), ``norm=None`` is the raw
+    unnormalized inverse."""
+    _check_pair(vr, vi)
+    if norm not in ("backward", None):
+        raise ValueError(
+            f"ifft_large supports norm='backward' or norm=None; got "
+            f"{norm!r}")
+    from smfft_tpu.ops import fourstep_fused
+    from smfft_tpu.ops.fourstep import split_factors
+    n = vr.shape[-1]
+    if n not in P.SUPPORTED_C2C_SIZES:
+        split_factors(n)
+    return fourstep_fused.dispatch_planar(
+        jnp.asarray(vr, jnp.float32), jnp.asarray(vi, jnp.float32),
+        inverse=True, precision=precision,
+        scale=1.0 / n if norm == "backward" else 1.0)
+
+
+def rfft_large(x: jnp.ndarray, precision: str | None = None):
+    """Planar huge-N R2C (N = 2**15..2**29): real (..., N) -> packed
+    planar half-spectrum pair (..., N/2), slot 0 = (DC, Nyquist).
+    Fused pack trick: one XLA deinterleave, the fused four-step over
+    N/2, one Pallas Hermitian-split pass (ops/real_fused.py).
+    Unnormalized, matching :func:`rfft`.  Sizes <= 16384 route to
+    :func:`rfft`."""
+    n = x.shape[-1]
+    if n in P.SUPPORTED_REAL_SIZES and n >= 256:
+        return rfft(x, precision=precision)
+    from smfft_tpu.ops import fourstep, real_fused
+    fourstep._check_real_n(n)
+    if n < 1 << 15:
+        raise ValueError(
+            f"Error wrong FFT length! N={n}; planar rfft_large starts "
+            f"at 32768 (use rfft below)")
+    return real_fused.rfft_large_planar(x, precision=precision)
+
+
+def irfft_large(vr: jnp.ndarray, vi: jnp.ndarray, n: int | None = None,
+                precision: str | None = None,
+                norm: str | None = "backward"):
+    """Planar huge-N C2R: packed half-spectrum pair (..., N/2) -> real
+    (..., N).  ``norm="backward"`` gives the signal (1/(N/2) folded into
+    the fused tables); ``norm=None`` keeps the reference's raw scale."""
+    _check_pair(vr, vi)
+    n = n or vr.shape[-1] * 2
+    if norm not in ("backward", None):
+        raise ValueError(
+            f"irfft_large supports norm='backward' or norm=None; got "
+            f"{norm!r}")
+    if n in P.SUPPORTED_REAL_SIZES and n >= 256:
+        return irfft(vr, vi, n=n, precision=precision, norm=norm)
+    from smfft_tpu.ops import fourstep, real_fused
+    fourstep._check_real_n(n)
+    if n < 1 << 15:
+        raise ValueError(f"Error wrong FFT length! N={n}")
+    return real_fused.irfft_large_planar(vr, vi, n, precision=precision,
+                                         normalize=norm == "backward")
+
+
 def convolve(vr: jnp.ndarray, vi: jnp.ndarray, hr: jnp.ndarray,
              hi: jnp.ndarray, precision: str | None = None):
     """Planar fused circular convolution: ifft(fft(x) * H) / N in one

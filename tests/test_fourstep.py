@@ -301,3 +301,96 @@ def test_rfft_large_small_sizes_differentiable(rng):
     g = jax.grad(lambda v: jnp.sum(jnp.abs(S.rfft_large(v, backend="xla"))
                                    ** 2))(x)
     assert g.shape == x.shape and bool(jnp.all(jnp.isfinite(g)))
+
+
+# ---------------------------------------------------------------------------
+# fused pallas huge-N path (ops/rowfour.py + ops/fourstep_fused.py),
+# exercised through the Pallas interpreter on CPU
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def interpret():
+    import smfft_tpu.ops.pallas_c2c as PC
+    PC.set_interpret(True)
+    try:
+        yield
+    finally:
+        PC.set_interpret(False)
+
+
+@pytest.mark.parametrize("n", [1 << 15, 1 << 16])
+def test_rowfour_matches_numpy(rng, interpret, n):
+    """Single-HBM-pass four-step kernel vs numpy, fwd + scaled inverse."""
+    from smfft_tpu.ops import rowfour
+    xr = (rng.random((3, n)) - 0.5).astype(np.float32)
+    xi = (rng.random((3, n)) - 0.5).astype(np.float32)
+    o_r, o_i = rowfour.fft_rowfour_planar(jnp.array(xr), jnp.array(xi))
+    want = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+    got = np.asarray(o_r) + 1j * np.asarray(o_i)
+    assert rel_err(got, want) < 2e-6
+    # inverse with the 1/N folded into the twiddle tables
+    br, bi = rowfour.fft_rowfour_planar(o_r, o_i, inverse=True,
+                                        scale=1.0 / n)
+    assert max_abs_err(np.asarray(br) + 1j * np.asarray(bi),
+                       xr + 1j * xi) < 1e-5
+
+
+def test_rowfour_odd_batch_pads(rng, interpret):
+    from smfft_tpu.ops import rowfour
+    n = 1 << 15
+    xr = (rng.random((9, n)) - 0.5).astype(np.float32)
+    xi = np.zeros((9, n), np.float32)
+    o_r, o_i = rowfour.fft_rowfour_planar(jnp.array(xr), jnp.array(xi))
+    want = np.fft.fft(xr.astype(np.float64))
+    assert rel_err(np.asarray(o_r) + 1j * np.asarray(o_i), want) < 2e-6
+
+
+def test_fourstep_fused_matches_numpy(rng, interpret):
+    """Fused two-pass four-step (N = 2**18) vs numpy, fwd + inverse."""
+    from smfft_tpu.ops import fourstep_fused
+    n = 1 << 18
+    xr = (rng.random((2, n)) - 0.5).astype(np.float32)
+    xi = (rng.random((2, n)) - 0.5).astype(np.float32)
+    o_r, o_i = fourstep_fused.fft_large_planar(jnp.array(xr),
+                                               jnp.array(xi))
+    want = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+    assert rel_err(np.asarray(o_r) + 1j * np.asarray(o_i), want) < 2e-6
+    br, bi = fourstep_fused.fft_large_planar(o_r, o_i, inverse=True,
+                                             scale=1.0 / n)
+    assert max_abs_err(np.asarray(br) + 1j * np.asarray(bi),
+                       xr + 1j * xi) < 1e-5
+
+
+def test_planar_fft_large_dispatch(rng, interpret):
+    """planar.fft_large / ifft_large: rowfour at 2**15, roundtrip with
+    norm='backward' folded into the tables."""
+    from smfft_tpu import planar
+    n = 1 << 15
+    xr = (rng.random((2, n)) - 0.5).astype(np.float32)
+    xi = (rng.random((2, n)) - 0.5).astype(np.float32)
+    o_r, o_i = planar.fft_large(jnp.array(xr), jnp.array(xi))
+    want = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+    assert rel_err(np.asarray(o_r) + 1j * np.asarray(o_i), want) < 2e-6
+    br, bi = planar.ifft_large(o_r, o_i, norm="backward")
+    assert max_abs_err(np.asarray(br) + 1j * np.asarray(bi),
+                       xr + 1j * xi) < 1e-5
+
+
+def test_planar_fft_large_row_sizes_route_to_row_kernel(rng, interpret):
+    from smfft_tpu import planar
+    n = 1 << 10
+    xr = (rng.random((2, n)) - 0.5).astype(np.float32)
+    o_r, o_i = planar.fft_large(jnp.array(xr), jnp.zeros((2, n)))
+    want = np.fft.fft(xr.astype(np.float64))
+    assert rel_err(np.asarray(o_r) + 1j * np.asarray(o_i), want) < 2e-6
+
+
+def test_api_fft_large_pallas_backend(rng, interpret):
+    """Complex api surface routed to the fused path (backend='pallas')."""
+    n = 1 << 15
+    x = (rng.random(n) + 1j * rng.random(n) - 0.5 - 0.5j
+         ).astype(np.complex64)
+    got = S.fft_large(jnp.array(x), backend="pallas")
+    assert rel_err(got, np.fft.fft(x.astype(np.complex128))) < 2e-6
+    back = S.ifft_large(got, backend="pallas")
+    assert max_abs_err(back, x) < 1e-5
