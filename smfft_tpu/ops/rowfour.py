@@ -101,51 +101,89 @@ def _split_dot_l(w_splits, z, precision):
 
 
 def stage2_consts(n2: int, inverse: bool, precision: str):
-    """numpy constant tables for the sublane DFT: [Wr, Wi] fp32 (n2, n2)
-    plus bf16 splits of each per the precision scheme."""
+    """numpy constant tables for the symmetry-packed sublane DFT.
+
+    [M, J] where M (n2, n2) packs the unique DFT rows — cosine rows
+    0..n2/2 then sine rows 1..n2/2-1 (the row-side mirror of the lane
+    DFT's column packing, pallas_c2c._sym_matrix) — and J (n2/2, n2/2)
+    is the 0/1 mirror permutation (row 0 -> src 0, row m -> src
+    n2/2 - m), exact in a single bf16 MXU pass.  Optional bf16 splits of
+    M follow for the manual split schemes.  Device-ablated
+    (tools/probe_stage2.py): the packed form beats the 4-real-dot dense
+    DFT 212->269 GB/s at 2**15 end-to-end (2 packed dots replace 4)."""
     sign = +1.0 if inverse else -1.0
-    wr, wi = _pc._dftmat(n2, sign)
-    base = [wr.astype(np.float32), wi.astype(np.float32)]
+    cr, si = _pc._dftmat(n2, sign)
+    half = n2 // 2
+    m = np.concatenate([cr[:half + 1], si[1:half]],
+                       axis=0).astype(np.float32)
+    j = np.zeros((half, half), np.float32)
+    j[0, 0] = 1.0
+    for r in range(1, half):
+        j[r, half - r] = 1.0
+    base = [m, j]
     if precision in _pc._SPLIT3:
-        base.extend(_pc._np_split_bf16_3(wr))
-        base.extend(_pc._np_split_bf16_3(wi))
+        base.extend(_pc._np_split_bf16_3(m))
     elif precision in _pc._SPLIT2:
-        base.extend(_pc._np_split_bf16(wr))
-        base.extend(_pc._np_split_bf16(wi))
+        base.extend(_pc._np_split_bf16(m))
     return tuple(base)
 
 
 def n_stage2_consts(precision: str) -> int:
-    return 2 + 2 * _pc.n_splits(precision)
+    return 2 + _pc.n_splits(precision)
 
 
 def _sublane_dft(zr, zi, wconsts, sb: int, n2: int, n1: int,
                  precision: str):
-    """Batched MXU DFT over the sublane dim: (sb*n2, n1) planar rows
-    [t2 sublanes, k1 lanes] -> (sb, n2, n1) [k2, k1]."""
+    """Symmetry-packed MXU DFT over the sublane dim: (sb*n2, n1) planar
+    rows [t2 sublanes, k1 lanes] -> (sb, n2, n1) [k2, k1].
+
+    Two packed dots against M (half the dense complex product's four),
+    slice/add mirror reconstruction, and one exact bf16x3 permutation
+    matmul for the reversed bottom half (Mosaic has no sublane-reverse
+    primitive; the 0/1 matrix J rides the MXU instead)."""
+    half = n2 // 2
+    m, jm = wconsts[0], wconsts[1]
+    m_splits = tuple(wconsts[2:]) or None
     zr = zr.reshape(sb, n2, n1)
     zi = zi.reshape(sb, n2, n1)
     nsp = _pc.n_splits(precision)
 
-    def bcast(m):
-        return jnp.broadcast_to(m[None], (sb,) + m.shape)
+    def bcast(x):
+        return jnp.broadcast_to(x[None], (sb,) + x.shape)
 
-    if nsp:
-        wr_s = tuple(bcast(m) for m in wconsts[2:2 + nsp])
-        wi_s = tuple(bcast(m) for m in wconsts[2 + nsp:2 + 2 * nsp])
-        rr = _split_dot_l(wr_s, zr, precision)
-        ri = _split_dot_l(wr_s, zi, precision)
-        ir = _split_dot_l(wi_s, zr, precision)
-        ii = _split_dot_l(wi_s, zi, precision)
+    if nsp and m_splits is not None:
+        ms = tuple(bcast(x) for x in m_splits)
+        pr = _split_dot_l(ms, zr, precision)
+        pi = _split_dot_l(ms, zi, precision)
     else:
-        wrb, wib = bcast(wconsts[0]), bcast(wconsts[1])
         enum = _pc._PREC.get(precision, jax.lax.Precision.HIGHEST)
         dot = functools.partial(jax.lax.dot_general,
                                 dimension_numbers=_DIMS_B, precision=enum,
                                 preferred_element_type=jnp.float32)
-        rr, ri = dot(wrb, zr), dot(wrb, zi)
-        ir, ii = dot(wib, zr), dot(wib, zi)
-    return rr - ii, ri + ir
+        mb = bcast(m)
+        pr, pi = dot(mb, zr), dot(mb, zi)
+    # rows of P: 0..half = C-products, half+1.. = S-products of 1..half-1
+    c_r, c_i = pr[:, 1:half], pi[:, 1:half]
+    s_r, s_i = pr[:, half + 1:], pi[:, half + 1:]
+    top_r, top_i = c_r - s_i, s_r + c_i          # k2 = 1..half-1
+    b_r, b_i = c_r + s_i, c_i - s_r              # k2 = half+1.. reversed
+    bsrc_r = jnp.concatenate([pr[:, half:half + 1], b_r], axis=1)
+    bsrc_i = jnp.concatenate([pi[:, half:half + 1], b_i], axis=1)
+    jb = bcast(jm).astype(jnp.bfloat16)
+    dotp = functools.partial(jax.lax.dot_general,
+                             dimension_numbers=_DIMS_B,
+                             preferred_element_type=jnp.float32)
+
+    def permdot(x):
+        # lossless bf16x3 split through the exact 0/1 permutation
+        h = x.astype(jnp.bfloat16)
+        r1 = x - h.astype(jnp.float32)
+        mm = r1.astype(jnp.bfloat16)
+        lo = (r1 - mm.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dotp(jb, h) + dotp(jb, mm) + dotp(jb, lo)
+    out_r = jnp.concatenate([pr[:, 0:1], top_r, permdot(bsrc_r)], axis=1)
+    out_i = jnp.concatenate([pi[:, 0:1], top_i, permdot(bsrc_i)], axis=1)
+    return out_r, out_i
 
 
 def _apply_twiddle_b(zr, zi, f1r, f1i, f2r, f2i, sb: int, n2: int,
