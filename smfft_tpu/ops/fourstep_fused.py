@@ -218,9 +218,10 @@ def dispatch_planar(vr: jnp.ndarray, vi: jnp.ndarray, *,
     """Planar huge-N C2C dispatch — the fused TPU path behind
     planar.fft_large / api.fft_large.  Row sizes (N <= 16384) go to the
     single-pass row kernels; N = 2**15..2**17 to the single-HBM-pass
-    rowfour kernel; larger N to the fused two-pass four-step."""
+    rowfour kernel; N = 2**18..2**24 to the retile-free multi-pass
+    pipeline (ops/hugefft.py); beyond that to the strided two-pass."""
     from smfft_tpu import api
-    from smfft_tpu.ops import rowfour
+    from smfft_tpu.ops import hugefft, rowfour
     n = vr.shape[-1]
     precision = api._resolve_precision(precision)
     if n in P.SUPPORTED_C2C_SIZES:
@@ -233,6 +234,9 @@ def dispatch_planar(vr: jnp.ndarray, vi: jnp.ndarray, *,
     if n in rowfour.FACTORS:
         return rowfour.fft_rowfour_planar(vr, vi, inverse=inverse,
                                           precision=precision, scale=scale)
+    if n <= hugefft.THREE_PASS_MAX:
+        return hugefft.fft_huge_planar(vr, vi, inverse=inverse,
+                                       precision=precision, scale=scale)
     return fft_large_planar(vr, vi, inverse=inverse, precision=precision,
                             scale=scale)
 

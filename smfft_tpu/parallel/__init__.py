@@ -21,5 +21,7 @@ from smfft_tpu.parallel.sharding import (  # noqa: F401
 from smfft_tpu.parallel.distributed import (  # noqa: F401
     distributed_fft,
     distributed_ifft,
+    distributed_irfft,
+    distributed_rfft,
     plan_distributed,
 )

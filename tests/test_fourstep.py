@@ -263,11 +263,65 @@ def test_distributed_spectral_filter_in_transposed_layout(rng):
     assert rel_err(y, want) < 2e-6
 
 
-def test_distributed_rejects_batch(rng):
+def test_distributed_batched(rng):
+    """(B, N) batch: every transform matches numpy (r4 VERDICT item 6)."""
     mesh = fft_mesh()
-    with pytest.raises(ValueError, match="1-D"):
-        distributed_fft(jnp.zeros((2, 1 << 16), jnp.complex64), mesh,
-                        backend="xla")
+    n = 1 << 16
+    x = (rng.standard_normal((3, n))
+         + 1j * rng.standard_normal((3, n))).astype(np.complex64)
+    got = distributed_fft(jnp.array(x), mesh, backend="xla")
+    assert got.shape == (3, n)
+    want = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert rel_err(np.asarray(got), want) < 2e-6
+    back = distributed_ifft(got, mesh, backend="xla", norm="backward")
+    assert max_abs_err(np.asarray(back), x) < 1e-5
+
+
+def test_distributed_batched_transposed_roundtrip(rng):
+    mesh = fft_mesh()
+    n = 1 << 16
+    x = (rng.standard_normal((2, n))
+         + 1j * rng.standard_normal((2, n))).astype(np.complex64)
+    c = distributed_fft(jnp.array(x), mesh, backend="xla",
+                        transposed_output=True)
+    assert c.shape[0] == 2 and c.shape[1] * c.shape[2] == n
+    back = distributed_ifft(c, mesh, backend="xla",
+                            transposed_input=True, norm="backward")
+    assert max_abs_err(np.asarray(back), x) < 1e-5
+
+
+def test_distributed_rfft_matches_numpy(rng):
+    """Distributed pack-trick R2C: packed half-spectrum vs numpy.rfft."""
+    from smfft_tpu.parallel import distributed_irfft, distributed_rfft
+    mesh = fft_mesh()
+    n = 1 << 17
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    h = distributed_rfft(jnp.array(x), mesh, backend="xla")
+    assert h.shape == (2, n // 2)
+    got = np.asarray(h)
+    want = np.fft.rfft(x.astype(np.float64), axis=-1)
+    # packed layout: slot 0 = DC + i*Nyq
+    full = np.concatenate([got[:, :1].real, got[:, 1:],
+                           1j * got[:, :1].imag], axis=-1)
+    full[:, 0] = got[:, 0].real
+    full[:, -1] = got[:, 0].imag
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(full - want)) / scale < 2e-6
+    # round trip (normalize=True gives back the signal)
+    back = distributed_irfft(h, mesh, backend="xla", normalize=True)
+    assert back.shape == (2, n)
+    assert np.max(np.abs(np.asarray(back) - x)) < 1e-5
+
+
+def test_distributed_rfft_vector(rng):
+    from smfft_tpu.parallel import distributed_irfft, distributed_rfft
+    mesh = fft_mesh()
+    n = 1 << 16
+    x = rng.standard_normal(n).astype(np.float32)
+    h = distributed_rfft(jnp.array(x), mesh, backend="xla")
+    assert h.shape == (n // 2,)
+    back = distributed_irfft(h, mesh, backend="xla")
+    assert np.max(np.abs(np.asarray(back) - x)) < 1e-5
 
 
 def test_distributed_pallas_interpret(rng):
@@ -359,6 +413,32 @@ def test_fourstep_fused_matches_numpy(rng, interpret):
                                              scale=1.0 / n)
     assert max_abs_err(np.asarray(br) + 1j * np.asarray(bi),
                        xr + 1j * xi) < 1e-5
+
+
+@pytest.mark.parametrize("n,b", [(1 << 18, 2), (1 << 22, 1)])
+def test_hugefft_matches_numpy(rng, interpret, n, b):
+    """Retile-free multi-pass pipeline (ops/hugefft.py): two-pass at
+    2**18, three-pass (P0 + P1 rowfour + P2 contraction) at 2**22."""
+    from smfft_tpu.ops import hugefft
+    xr = (rng.random((b, n)) - 0.5).astype(np.float32)
+    xi = (rng.random((b, n)) - 0.5).astype(np.float32)
+    o_r, o_i = hugefft.fft_huge_planar(jnp.array(xr), jnp.array(xi))
+    want = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+    assert rel_err(np.asarray(o_r) + 1j * np.asarray(o_i), want) < 2e-6
+    br, bi = hugefft.fft_huge_planar(o_r, o_i, inverse=True,
+                                     scale=1.0 / n)
+    assert max_abs_err(np.asarray(br) + 1j * np.asarray(bi),
+                       xr + 1j * xi) < 2e-5
+
+
+def test_hugefft_rejects_bad_sizes():
+    from smfft_tpu.ops import hugefft
+    z = jnp.zeros((1, 3 * (1 << 18)), jnp.float32)
+    with pytest.raises(ValueError, match="Error wrong FFT length!"):
+        hugefft.fft_huge_planar(z, z)
+    z = jnp.zeros((1, 1 << 25), jnp.float32)
+    with pytest.raises(ValueError, match="Error wrong FFT length!"):
+        hugefft.fft_huge_planar(z, z)
 
 
 def test_planar_fft_large_dispatch(rng, interpret):

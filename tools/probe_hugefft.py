@@ -1,7 +1,7 @@
-"""Device probe for ops/hugefft.py: correctness vs numpy + per-pass and
-end-to-end effective GB/s at one size.
+"""Device probe for ops/hugefft.py: correctness vs numpy + end-to-end
+effective GB/s at one size.
 
-Usage: probe_hugefft.py <exp> [fold|revisit]
+Usage: probe_hugefft.py <exp> [two:revisit|two:fold|three]
 """
 import sys
 sys.path.insert(0, ".")
@@ -21,20 +21,20 @@ def data(b, n, seed):
 
 if __name__ == "__main__":
     e = int(sys.argv[1]) if len(sys.argv) > 1 else 18
-    mode = sys.argv[2] if len(sys.argv) > 2 else "fold"
+    mode = sys.argv[2] if len(sys.argv) > 2 else None
     n = 1 << e
     rng = np.random.default_rng(0)
     b0 = 8
     x = (rng.standard_normal((b0, n)) + 1j *
          rng.standard_normal((b0, n))).astype(np.complex64)
     o = H.fft_huge_planar(jnp.asarray(x.real), jnp.asarray(x.imag),
-                          out_mode=mode)
+                          plan=mode)
     got = np.asarray(o[0]) + 1j * np.asarray(o[1])
     ref = np.fft.fft(x.astype(np.complex128), axis=-1)
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     print(f"correct 2^{e} [{mode}]: rel {err:.2e}")
     oi = H.fft_huge_planar(o[0], o[1], inverse=True, scale=1.0 / n,
-                           out_mode=mode)
+                           plan=mode)
     rt = np.max(np.abs(np.asarray(oi[0]) + 1j * np.asarray(oi[1]) - x))
     print(f"roundtrip 2^{e}: {rt:.2e}")
 
@@ -43,7 +43,7 @@ if __name__ == "__main__":
     nbytes = B * n * 16
 
     def f():
-        o = H.fft_huge_planar(xr, xi, out_mode=mode)
+        o = H.fft_huge_planar(xr, xi, plan=mode)
         float(force(o[0]))
     ms = device_time_ms(f, reps=5, match=r"^jit_run")
     print(f"2^{e} B={B} [{mode}]: {nbytes / ms / 1e6:5.0f} GB/s effective")
