@@ -271,61 +271,92 @@ def main():
                         ffts=rows_n * MULT_ITERS)
         details["sizes"][str(n)] = entry
 
-    # huge-N four-step rows (beyond the reference's 4096 cap and the
-    # row-kernel 16384 cap): one batched fft_large / rfft_large at
-    # N = 2**20, counted as in+out useful bytes (the four-step makes
-    # ~3 logical passes, so GB/s here is EFFECTIVE external throughput,
-    # not a roofline claim), plus jnp.fft at the same size for scale
+    # huge-N sweep (beyond the reference's 4096 cap and the row-kernel
+    # 16384 cap): fft_large / rfft_large per size with a jnp.fft twin
+    # column and a numpy.fft accuracy gate — the same evidence standard
+    # as the row-size table (VERDICT r3 missing #2).  GB/s here is
+    # EFFECTIVE external throughput (in+out useful bytes; the pipeline
+    # makes 1-3 physical passes), not a roofline claim.
     if flags.external:
-        try:
-            from smfft_tpu import api as API
-            nL, bL = 1 << 20, 24
-            lr = devdata(bL, nL, 17)
-            li = devdata(bL, nL, 18)
+        from smfft_tpu import planar as PLA
+        details["large"] = {}
+        rng_l = np.random.default_rng(42)
+        for e in range(15, 25):
+            nL = 1 << e
+            bL = max(8, min(96, (128 << 20) // (8 * nL))) // 8 * 8
+            entry = {"batch": bL}
+            try:
+                lr = devdata(bL, nL, 17 + e)
+                li = devdata(bL, nL, 170 + e)
 
-            @jax.jit
-            def run_large(p, q):
-                y = API.fft_large(jax.lax.complex(p, q))
-                return jnp.real(y), jnp.imag(y)
+                def f_large():
+                    out = PLA.fft_large(lr, li)
+                    float(force(out[0]))
+                gbs, ms = timed_gbs(f_large, bL * nL * 16,
+                                    match=r"^jit_run")
+                entry["fft_large_gbs"] = gbs
 
-            def f_large():
-                out = run_large(lr, li)
-                float(force(out[0]))
-            gbs, ms = timed_gbs(f_large, bL * nL * 16,
-                                match=r"^jit_run_large")
-            details["fft_large_n2e20_gbs"] = gbs
-            log(f"fft_large n=2^20: {gbs:6.1f} GB/s effective "
-                f"({ms:.2f} ms, batch {bL})")
+                @jax.jit
+                def run_large_jnp(p, q):
+                    return jnp.real(jnp.fft.fft(jax.lax.complex(p, q)))
 
-            @jax.jit
-            def run_large_jnp(p, q):
-                return jnp.real(jnp.fft.fft(jax.lax.complex(p, q)))
+                def f_large_jnp():
+                    out = run_large_jnp(lr, li)
+                    float(force(out))
+                try:
+                    jgbs, _ = timed_gbs(f_large_jnp, bL * nL * 16,
+                                        match=r"^jit_run_large_jnp")
+                except Exception as je:  # noqa: BLE001
+                    jgbs = None
+                    entry["jnp_error"] = str(je)[:100]
+                entry["jnp_fft_gbs"] = jgbs
+                ratio = f"{gbs / jgbs:4.1f}x jnp" if jgbs else "jnp n/a"
+                log(f"fft_large 2^{e}: {gbs:6.1f} GB/s eff "
+                    f"(jnp {jgbs or 0:5.1f}, {ratio}, batch {bL})")
 
-            def f_large_jnp():
-                out = run_large_jnp(lr, li)
-                float(force(out))
-            gbs, _ = timed_gbs(f_large_jnp, bL * nL * 16,
-                               match=r"^jit_run_large_jnp")
-            details["jnp_fft_n2e20_gbs"] = gbs
-            log(f"jnp.fft   n=2^20: {gbs:6.1f} GB/s effective")
+                # accuracy gate vs numpy.fft float64 (small batch)
+                xa = (rng_l.standard_normal((2, nL)).astype(np.float32),
+                      rng_l.standard_normal((2, nL)).astype(np.float32))
+                o_r, o_i = PLA.fft_large(jnp.asarray(xa[0]),
+                                         jnp.asarray(xa[1]))
+                ref = np.fft.fft(xa[0].astype(np.float64)
+                                 + 1j * xa[1].astype(np.float64))
+                got = np.asarray(o_r) + 1j * np.asarray(o_i)
+                entry["rel_err"] = float(np.max(np.abs(got - ref))
+                                         / np.max(np.abs(ref)))
+                log(f"  accuracy 2^{e}: rel err {entry['rel_err']:.2e}")
+            except Exception as ex:  # noqa: BLE001
+                entry["error"] = str(ex)[:160]
+                log(f"fft_large 2^{e} FAILED: {str(ex)[:120]}")
+            # rfft_large at real length 2*nL (same internal L, same
+            # logical bytes as fft_large at nL)
+            try:
+                xr_l = devdata(bL, 2 * nL, 19 + e)
 
-            xr = devdata(bL, 2 * nL, 19)
-
-            @jax.jit
-            def run_rlarge(p):
-                y = API.rfft_large(p, packed=True)
-                return jnp.real(y), jnp.imag(y)
-
-            def f_rlarge():
-                out = run_rlarge(xr)
-                float(force(out[0]))
-            gbs, _ = timed_gbs(f_rlarge, bL * 2 * nL * 8,
-                               match=r"^jit_run_rlarge")
-            details["rfft_large_n2e21_gbs"] = gbs
-            log(f"rfft_large n=2^21: {gbs:6.1f} GB/s effective")
-        except Exception as e:  # noqa: BLE001
-            details["fft_large_error"] = str(e)[:160]
-            log(f"fft_large rows FAILED: {str(e)[:120]}")
+                def f_rlarge():
+                    out = PLA.rfft_large(xr_l)
+                    float(force(out[0]))
+                rgbs, _ = timed_gbs(f_rlarge, bL * 2 * nL * 8,
+                                    match=r"^jit_run")
+                entry["rfft_large_gbs"] = rgbs
+                log(f"rfft_large 2^{e + 1}: {rgbs:6.1f} GB/s eff")
+                xb = rng_l.standard_normal((2, 2 * nL)).astype(np.float32)
+                hr, hi = PLA.rfft_large(jnp.asarray(xb))
+                ref = np.fft.rfft(xb.astype(np.float64))
+                got = np.asarray(hr) + 1j * np.asarray(hi)
+                # packed layout: slot 0 = DC + i*Nyq
+                full = np.concatenate(
+                    [got[:, :1].real, got[:, 1:],
+                     1j * got[:, :1].imag], axis=-1)
+                full[:, 0] = got[:, 0].real
+                full[:, -1] = got[:, 0].imag
+                entry["rfft_rel_err"] = float(
+                    np.max(np.abs(full - ref)) / np.max(np.abs(ref)))
+                log(f"  r2c accuracy: rel err {entry['rfft_rel_err']:.2e}")
+            except Exception as ex:  # noqa: BLE001
+                entry["rfft_error"] = str(ex)[:160]
+                log(f"rfft_large 2^{e + 1} FAILED: {str(ex)[:120]}")
+            details["large"][str(nL)] = entry
 
     # XLA-native jnp.fft comparison at N=1024 (same method)
     try:

@@ -27,6 +27,10 @@ Public API: :func:`fft`, :func:`ifft`, :func:`rfft`, :func:`irfft`, and
 the one-fused-kernel :func:`convolve` in :mod:`smfft_tpu.api`.
 """
 
+import smfft_tpu.config  # noqa: F401  (applies SMFFT_* env flags eagerly:
+# config.set_interpret must run before any kernel builder caches on the
+# interpret flag — lazy import left SMFFT_INTERPRET=1 unapplied for entry
+# points that never touched pallas_c2c._build, e.g. the pencil real path)
 from smfft_tpu.params import (
     FFTParams,
     SUPPORTED_C2C_SIZES,

@@ -68,8 +68,13 @@ LANES = 128
 #: (8, N/8) output block must fit VMEM alongside the row-kernel consts.
 TWO_PASS_MAX = 1 << 21
 
-#: three-pass window: M = N/128 must be a rowfour size (2**15..2**17).
+#: three-pass window: M = N/128 must be a row or rowfour size
+#: (2**11..2**17).
 THREE_PASS_MAX = 1 << 24
+
+#: five-pass window: M2 = N/2**14 must be a plain row size
+#: (2**11..2**14).
+FIVE_PASS_MAX = 1 << 28
 
 _VMEM_LIMIT = 110 * 1024 * 1024
 
@@ -224,18 +229,22 @@ def _outer_twiddle_tables(n: int, c1: int, inverse: bool, scale: float):
 
 def _twiddle_rows_epilogue(ar, ai, g1r, g1i, g2r, g2i, c1: int):
     """Multiply (sb, m) ordered rows by W_N^(t2*k1), t2 = the row's
-    slice of the G tables (selected by the caller's block index map)."""
-    out_r, out_i = [], []
-    for a in range(c1):
-        cr = ar[:, a * LANES:(a + 1) * LANES]
-        ci = ai[:, a * LANES:(a + 1) * LANES]
-        hr, hi = g1r[:, a:a + 1], g1i[:, a:a + 1]
-        wr = hr * g2r - hi * g2i
-        wi = hr * g2i + hi * g2r
-        out_r.append(cr * wr - ci * wi)
-        out_i.append(cr * wi + ci * wr)
-    return (jnp.concatenate(out_r, axis=-1),
-            jnp.concatenate(out_i, axis=-1))
+    slice of the G tables (selected by the caller's block index map).
+
+    k1 = a*128 + b splits the factor as G1[t2, a] * G2[t2, b]; the rows
+    view as (sb, c1, 128) so the whole multiply is two 3-D broadcast
+    complex products (an unrolled per-chunk loop at c1 = 256..1024
+    bloated the Mosaic program and halved the pass)."""
+    sb = ar.shape[0]
+    a3r = ar.reshape(sb, c1, LANES)
+    a3i = ai.reshape(sb, c1, LANES)
+    hr, hi = g1r[:, :, None], g1i[:, :, None]      # (sb, c1, 1)
+    fr, fi = g2r[:, None, :], g2i[:, None, :]      # (sb, 1, 128)
+    wr = hr * fr - hi * fi
+    wi = hr * fi + hi * fr
+    out_r = a3r * wr - a3i * wi
+    out_i = a3r * wi + a3i * wr
+    return out_r.reshape(sb, -1), out_i.reshape(sb, -1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -250,9 +259,16 @@ def _build_p1(n: int, m: int, inverse: bool, precision: str,
     from smfft_tpu.config import debug_print
     debug_print(f"build hugefft p1: n={n} m={m} inverse={inverse} "
                 f"precision={precision}")
-    sb = 8
     c1 = m // LANES
     plain = m in P.SUPPORTED_C2C_SIZES
+    # 128 rows per block for the plain row kernel (the production-tuned
+    # tile at 4096..8192 — 8-row blocks measured 49 GB/s, 12x slower);
+    # every block then covers all t2 = 0..127 in order, so the N-twiddle
+    # tables are whole-array consts.  m = 16384 drops to 64-row blocks
+    # (128-row blocks + the G tables exceed VMEM: remote-compile OOM);
+    # the rowfour body keeps its own tuned 8-row blocks.  Sub-128 blocks
+    # select their t2 slice of the G tables by block index map.
+    sb = (128 if m <= 8192 else 64) if plain else 8
     if plain:
         prec1 = _pc.resolve_scheme(precision, m)
         nc1 = _pc.n_consts(m, prec1)
@@ -334,28 +350,60 @@ def _p2c_tile(m: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_p2_contract(m: int, ch: int, inverse: bool, precision: str):
-    """Three-pass finisher: the 128-point DFT contracting the t2 rows.
-    (B*128, M) [t2-major] -> (B*128, M) [k2-major] = (B, N) natural."""
+def _build_p2_contract(m: int, ch: int, inverse: bool, precision: str,
+                       n_outer: int = 0, scale: float = 1.0):
+    """Contraction pass: the 128-point DFT contracting the t2 rows.
+    (B*128, M) [t2-major] -> (B*128, M) [k2-major] = (B, N) natural.
+
+    With ``n_outer`` (the five-pass inner finisher) the result tile is
+    additionally multiplied by the OUTER twiddle W_No^(t2o*k1), where
+    t2o = grid row % 128 and k1 = j2*M + j1 splits exactly into
+    A[t2o, j2] * B2[t2o, j1] host tables (``scale`` folds into A)."""
     from smfft_tpu.config import debug_print
     debug_print(f"build hugefft p2c: m={m} ch={ch} inverse={inverse} "
-                f"precision={precision}")
+                f"precision={precision} n_outer={n_outer}")
     prec2 = _pc.resolve_scheme(precision, LANES)
     s2 = RF.stage2_consts(LANES, inverse, prec2)
     nc2 = len(s2)
+    ntw = 4 if n_outer else 0
 
     def kernel(*refs):
         x_r, x_i = refs[0], refs[1]
         wconsts = tuple(r[:] for r in refs[2:2 + nc2])
-        o_r, o_i = refs[2 + nc2:]
+        o_r, o_i = refs[2 + nc2 + ntw:]
         cr, ci = RF._sublane_dft(x_r[:], x_i[:], wconsts, 1, LANES, ch,
                                  prec2)
-        o_r[:] = cr.reshape(LANES, ch)
-        o_i[:] = ci.reshape(LANES, ch)
+        cr = cr.reshape(LANES, ch)
+        ci = ci.reshape(LANES, ch)
+        if n_outer:
+            a_r, a_i, b_r, b_i = (r[:] for r in refs[2 + nc2:2 + nc2 + 4])
+            wr = a_r * b_r - a_i * b_i     # (128,1) x (1,ch) broadcast
+            wi = a_r * b_i + a_i * b_r
+            cr, ci = cr * wr - ci * wi, cr * wi + ci * wr
+        o_r[:], o_i[:] = cr, ci
 
     spec = pl.BlockSpec((LANES, ch), lambda b, j: (b, j),
                         memory_space=pltpu.VMEM)
     const_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * nc2
+    tw_specs, tw_np = [], ()
+    if n_outer:
+        # A[t2o, j2] = W_No^(t2o*j2*M) * scale as a (128*128, 1) column
+        # (block (128, 1) selects t2o's j2-column); B2[t2o, j1] (128, M)
+        # (block (1, ch) selects t2o's j1-chunk)
+        sign = 2j * np.pi / n_outer if inverse else -2j * np.pi / n_outer
+        t2o = np.arange(LANES, dtype=np.int64)[:, None]
+        j2 = np.arange(LANES, dtype=np.int64)[None, :]
+        j1 = np.arange(m, dtype=np.int64)[None, :]
+        a_t = (np.exp(sign * ((t2o * j2 * m) % n_outer)) * scale
+               ).reshape(LANES * LANES, 1)
+        b_t = np.exp(sign * ((t2o * j1) % n_outer))
+        tw_np = (a_t.real.astype(np.float32), a_t.imag.astype(np.float32),
+                 b_t.real.astype(np.float32), b_t.imag.astype(np.float32))
+        a_spec = pl.BlockSpec((LANES, 1), lambda b, j: (b % LANES, 0),
+                              memory_space=pltpu.VMEM)
+        b_spec = pl.BlockSpec((1, ch), lambda b, j: (b % LANES, j),
+                              memory_space=pltpu.VMEM)
+        tw_specs = [a_spec, a_spec, b_spec, b_spec]
 
     @jax.jit
     def run_p2c(vr, vi):
@@ -368,15 +416,17 @@ def _build_p2_contract(m: int, ch: int, inverse: bool, precision: str):
         if not _pc._INTERPRET:
             cp = pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT,
-                dimension_semantics=("parallel", "parallel"))
+                dimension_semantics=("parallel", "parallel")
+                if not n_outer else ("arbitrary", "arbitrary"))
         return pl.pallas_call(
             kernel, grid=(b, m // ch),
-            in_specs=[spec, spec] + const_specs,
+            in_specs=[spec, spec] + const_specs + tw_specs,
             out_specs=(spec, spec),
             out_shape=(jax.ShapeDtypeStruct((rows, m), jnp.float32),) * 2,
             cost_estimate=cost, compiler_params=cp,
             interpret=_pc._INTERPRET,
-        )(vr, vi, *(jnp.asarray(c) for c in s2))
+        )(vr, vi, *(jnp.asarray(c) for c in s2),
+          *(jnp.asarray(t) for t in tw_np))
     return run_p2c
 
 
@@ -388,9 +438,9 @@ def _build_p2_contract(m: int, ch: int, inverse: bool, precision: str):
 def _default_plan(n: int) -> str:
     if n <= 1 << 19:
         return "two:revisit"
-    if n <= TWO_PASS_MAX:
+    if n <= THREE_PASS_MAX:
         return "three"
-    return "three"
+    return "five"
 
 
 def fft_huge_planar(vr: jnp.ndarray, vi: jnp.ndarray, *,
@@ -398,19 +448,19 @@ def fft_huge_planar(vr: jnp.ndarray, vi: jnp.ndarray, *,
                     scale: float = 1.0, plan: str | None = None):
     """Retile-free huge-N C2C FFT over the last axis, planar fp32
     in/out, natural order, unnormalized (``scale`` folds exactly into
-    the twiddle tables).  N = 2**18..2**24; batched over leading axes.
+    the twiddle tables).  N = 2**18..2**28; batched over leading axes.
 
     ``plan`` overrides the measured per-size default: "two:revisit",
-    "two:fold", or "three"."""
+    "two:fold", "three", or "five"."""
     n = vr.shape[-1]
     if vr.shape != vi.shape:
         raise ValueError(
             f"planar pair shapes differ: {vr.shape} vs {vi.shape}")
     m = n // LANES
-    if n <= 1 << 17 or n > THREE_PASS_MAX or (n & (n - 1)):
+    if n <= 1 << 17 or n > FIVE_PASS_MAX or (n & (n - 1)):
         raise ValueError(
             f"Error wrong FFT length! N={n}; hugefft supports powers of "
-            f"two in [2**18, 2**24]")
+            f"two in [2**18, 2**28]")
     plan = plan or _default_plan(n)
     batch = vr.shape[:-1]
     vr = jnp.asarray(vr, jnp.float32).reshape(-1, n)
@@ -427,8 +477,24 @@ def fft_huge_planar(vr: jnp.ndarray, vi: jnp.ndarray, *,
         out_mode = plan.split(":", 1)[1] if ":" in plan else "revisit"
         o_r, o_i = _build_p2_direct(n, m, inverse, precision, scale,
                                     out_mode)(zr, zi)
-    else:
+    elif plan == "three":
         zr, zi = _build_p1(n, m, inverse, precision, scale)(zr, zi)
+        o_r, o_i = _build_p2_contract(m, _p2c_tile(m), inverse,
+                                      precision)(zr, zi)
+        o_r = o_r.reshape(-1, n)
+        o_i = o_i.reshape(-1, n)
+    else:
+        # five-pass: the M-length row FFTs of the three-pass are
+        # themselves too large for VMEM, so each row runs its OWN
+        # inner three-pass (P0 + P1 + P2c with the outer N-twiddle
+        # fused into the inner contraction's epilogue).
+        m2 = m // LANES
+        zr, zi = _build_p0(m, m2, _p0_tile(m2))(zr, zi)
+        zr, zi = _build_p1(m, m2, inverse, precision, 1.0)(zr, zi)
+        zr, zi = _build_p2_contract(m2, _p2c_tile(m2), inverse, precision,
+                                    n_outer=n, scale=scale)(zr, zi)
+        zr = zr.reshape(-1, m)
+        zi = zi.reshape(-1, m)
         o_r, o_i = _build_p2_contract(m, _p2c_tile(m), inverse,
                                       precision)(zr, zi)
         o_r = o_r.reshape(-1, n)

@@ -348,8 +348,47 @@ def _split_dot(x, w_splits, dims, precision):
     return _dot_x3s(x, w_splits, dims)
 
 
+# Split-accumulation schemes: lax.Precision.HIGHEST product passes, but
+# the 128-term contraction is split into 8 (or 16) sub-dots combined by
+# a PAIRWISE fp32 add tree.  The fp32 accumulator's sequential rounding
+# over the 128-deep contraction is the single dominant error source of
+# the whole fused chain at n >= 1024 (error attribution:
+# tools/probe_accuracy_attrib.py — lane stage alone reproduces the full
+# 1.4e-5/3.2e-5 abs error at 1024/4096, every other stage in float64
+# changes nothing); shortening the accumulation chains to depth
+# 16 + log2(8) cuts the measured error ~2.2-2.5x at identical MAC count.
+_ACC = {"acc8": 8, "acc16": 16}
+
+
+def _pairwise(parts):
+    while len(parts) > 1:
+        parts = [parts[i] + parts[i + 1] for i in range(0, len(parts), 2)]
+    return parts[0]
+
+
+def _acc_dot(x, m, parts: int, transposed: bool):
+    """Split-contraction HIGHEST dot: x (T, K) against m (K, 128) —
+    transposed=False gives x@m (T, 128); transposed=True gives (x@m)^T
+    (128, T) via reversed dims (see _dot_t)."""
+    k = m.shape[0]
+    d = k // parts
+    dims = ((((0,), (1,)) if transposed else ((1,), (0,))), ((), ()))
+    ps = []
+    for s in range(parts):
+        ms = m[s * d:(s + 1) * d, :]
+        xs = x[:, s * d:(s + 1) * d]
+        a, b = (ms, xs) if transposed else (xs, ms)
+        ps.append(jax.lax.dot_general(
+            a, b, dimension_numbers=dims,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32))
+    return _pairwise(ps)
+
+
 def _sym_dot(x, m, m_splits, precision):
     """One real dot against the packed symmetric matrix M: (T, 128)."""
+    if precision in _ACC:
+        return _acc_dot(x, m, _ACC[precision], transposed=False)
     dims = (((1,), (0,)), ((), ()))
     if m_splits is not None and n_splits(precision):
         return _split_dot(x, m_splits, dims, precision)
@@ -645,6 +684,8 @@ def digit_swap_merge(chunks):
 def _dot_t(g, x, precision, g_splits=None):
     """Transposed-product dot: (x @ G)^T = (128, T) straight off the MXU
     via reversed dimension numbers — no relayout pass."""
+    if precision in _ACC:
+        return _acc_dot(x, g, _ACC[precision], transposed=True)
     dims = (((0,), (1,)), ((), ()))
     if g_splits is not None and n_splits(precision):
         if precision == "x5":

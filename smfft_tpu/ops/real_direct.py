@@ -420,6 +420,15 @@ def _dot_mat(m, x, precision, m_splits):
     """(128, 128) constant @ (128, T) data with the precision-scheme
     machinery of pallas_c2c (standard dims, constant on the left)."""
     dims = (((1,), (0,)), ((), ()))
+    if precision in _pc._ACC:
+        parts = _pc._ACC[precision]
+        d = m.shape[1] // parts
+        ps = [jax.lax.dot_general(
+            m[:, s * d:(s + 1) * d], x[s * d:(s + 1) * d, :],
+            dimension_numbers=dims,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32) for s in range(parts)]
+        return _pc._pairwise(ps)
     if m_splits is not None and n_splits(precision):
         if precision == "x5":
             mh, mm, ml = m_splits

@@ -436,9 +436,12 @@ def test_hugefft_rejects_bad_sizes():
     z = jnp.zeros((1, 3 * (1 << 18)), jnp.float32)
     with pytest.raises(ValueError, match="Error wrong FFT length!"):
         hugefft.fft_huge_planar(z, z)
-    z = jnp.zeros((1, 1 << 25), jnp.float32)
+    z = jnp.zeros((1, 1 << 16), jnp.float32)
     with pytest.raises(ValueError, match="Error wrong FFT length!"):
         hugefft.fft_huge_planar(z, z)
+    z = jnp.zeros((1, 1 << 22), jnp.float32)
+    with pytest.raises(ValueError, match="two-pass plan caps"):
+        hugefft.fft_huge_planar(z, z, plan="two:fold")
 
 
 def test_planar_fft_large_dispatch(rng, interpret):
