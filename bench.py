@@ -259,6 +259,11 @@ def main():
                 return
             measure("inverse ", "inverse_gbs", mk(inverse=True), nbytes)
             measure("ordered ", "ordered_gbs", mk(ordered=True), nbytes)
+            if n in (1024, 4096):
+                # the "exact" tier's throughput cost (VERDICT r4 #5):
+                # split-accumulation lane dot at two representative sizes
+                measure("external[exact]", "external_exact_gbs",
+                        mk(precision="exact"), nbytes)
             # fused real transforms: 4B in + 4B out per real sample.
             # natural-order spectra (the reference's Stockham R2C/C2R
             # are always ordered): pencil kernel n <= 4096, matmul

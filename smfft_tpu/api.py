@@ -47,6 +47,11 @@ def _resolve_backend(backend: Backend) -> str:
 _warned_precisions: set[str] = set()
 
 #: MXU precision tiers (see ops/pallas_c2c.py for the pass schemes):
+#:   "exact"   — tightest fp32: "highest" products + the 128-term lane
+#:               contraction split into 16 sub-dots on a pairwise fp32
+#:               add tree; ~2.5x lower error than "highest" at
+#:               N >= 1024 (~1.6 output ulp — the fp32 floor; measured
+#:               table in BASELINE.md).
 #:   "highest" — numpy-grade fp32 (6 bf16 MXU passes); the default.
 #:   "high"    — meets the reference's 1e-4 verification gate (FFT.c:12)
 #:               at every supported size at reduced MXU cost.
@@ -261,8 +266,9 @@ def fft(x: jnp.ndarray, ordered: bool = True, backend: Backend = "auto",
         returns digit-reversed output at lower cost (``fft_reorder=0``).
       backend: "auto" | "pallas" | "xla" | "spec".
       precision: MXU precision tier — "highest" (numpy-grade, default) |
-        "high" (1e-4 gate, cheaper) | "fast" (throughput-only, outside
-        the 1e-4 gate for N >= 256) | "default" (parity knob, unusable
+        "exact" (tightest fp32, ~1.6 output ulp at N >= 1024) | "high"
+        (1e-4 gate, cheaper) | "fast" (throughput-only, outside the
+        1e-4 gate for N >= 256) | "default" (parity knob, unusable
         accuracy — warns).  See the tier notes above _resolve_precision.
 
     Ordered transforms are differentiable (custom VJP through the fused

@@ -216,10 +216,24 @@ _HIGH_SCHEME = {32: "x3", 64: "x3", 128: "x3", 256: "x4", 512: "x5",
                 8192: "highest"}
 
 
+#: "exact" tier: HIGHEST product passes with the 128-term lane
+#: contraction split into 16 sub-dots combined by a pairwise fp32 add
+#: tree (_acc_dot).  The fp32 accumulator's sequential rounding over
+#: the 128-deep contraction is the dominant error source of the whole
+#: fused chain at n >= 1024 (tools/probe_accuracy_attrib.py); the
+#: shortened chains cut measured error ~2.2-2.5x at identical MAC
+#: count.  Below 1024 "highest" already sits at the fp32 floor, so the
+#: tier only changes the lane dot where it matters.
+EXACT_ACC_MIN = 1024
+
+
 def resolve_scheme(precision: str, core_n: int) -> str:
-    """Resolve the "high" contract tier to its per-size scheme token."""
+    """Resolve the "high"/"exact" contract tiers to per-size scheme
+    tokens."""
     if precision == "high":
         return _HIGH_SCHEME.get(core_n, "highest")
+    if precision == "exact":
+        return "acc16" if core_n >= EXACT_ACC_MIN else "highest"
     return precision
 
 
@@ -234,6 +248,9 @@ _HIGH_SCHEME_REAL = {64: "x3", 128: "x3", 256: "x5"}
 def resolve_scheme_real(precision: str, real_n: int) -> str:
     if precision == "high":
         return _HIGH_SCHEME_REAL.get(real_n, "highest")
+    if precision == "exact":
+        # the half-size core runs at real_n/2
+        return "acc16" if real_n >= 2 * EXACT_ACC_MIN else "highest"
     return precision
 
 

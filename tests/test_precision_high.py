@@ -93,3 +93,71 @@ def test_high_distinct_from_highest_at_small_n(rng):
     hi_r, _ = PC.fft_planar(vr, vi, n, precision="highest")
     h_r, _ = PC.fft_planar(vr, vi, n, precision="high")
     assert np.max(np.abs(np.asarray(hi_r) - np.asarray(h_r))) > 0.0
+
+
+def test_exact_scheme_resolution_static():
+    assert PC.resolve_scheme("exact", 512) == "highest"
+    assert PC.resolve_scheme("exact", 1024) == "acc16"
+    assert PC.resolve_scheme("exact", 4096) == "acc16"
+    assert PC.resolve_scheme_real("exact", 1024) == "highest"
+    assert PC.resolve_scheme_real("exact", 2048) == "acc16"
+
+
+@pytest.mark.parametrize("n", [1024, 4096])
+def test_exact_beats_highest_c2c(rng, n):
+    """The "exact" tier (split-accumulation lane dot, _acc_dot) must cut
+    the dominant fp32-accumulator error: <= 2 output ulp at max
+    magnitude, and at most ~60% of "highest"'s error on the same data.
+
+    The measured floor: the lane accumulation shortened to depth
+    16+log2(16) leaves ~1.6 ulp(max|X|) total — output fp32 rounding
+    alone costs up to 0.5 ulp, so a 1e-5 abs gate at 4096 (~1.3 ulp)
+    is below what ANY fp32-output transform can guarantee; the
+    documented gate is 2 ulp (BASELINE.md accuracy section)."""
+    c = n // 128
+    x = (rng.random((64, n)) + 1j * rng.random((64, n))
+         - 0.5 - 0.5j).astype(np.complex64)
+    vr = jnp.array(np.ascontiguousarray(x.real))
+    vi = jnp.array(np.ascontiguousarray(x.imag))
+    ref = np.fft.fft(x.astype(np.complex128))
+
+    def run(prec):
+        o_r, o_i = PC.fft_planar(vr, vi, n, precision=prec)
+        got = (np.asarray(o_r) + 1j * np.asarray(o_i)).reshape(
+            -1, c, 128).transpose(0, 2, 1).reshape(-1, n)
+        return np.max(np.abs(got - ref))
+
+    e_hi, e_ex = run("highest"), run("exact")
+    ulp = np.spacing(np.float32(np.max(np.abs(ref))))
+    assert e_ex <= 2.0 * ulp
+    assert e_ex <= 0.6 * e_hi
+
+
+def test_exact_small_n_passthrough(rng):
+    """Below EXACT_ACC_MIN the tier is bit-identical to "highest"."""
+    n = 512
+    x = (rng.random((32, n)) + 1j * rng.random((32, n))
+         - 0.5 - 0.5j).astype(np.complex64)
+    vr = jnp.array(np.ascontiguousarray(x.real))
+    vi = jnp.array(np.ascontiguousarray(x.imag))
+    a = PC.fft_planar(vr, vi, n, precision="highest")
+    b = PC.fft_planar(vr, vi, n, precision="exact")
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_exact_through_api(rng):
+    """precision='exact' flows through the public fft/rfft surface."""
+    import smfft_tpu as S
+    n = 1024
+    x = (rng.random(n) + 1j * rng.random(n) - 0.5 - 0.5j
+         ).astype(np.complex64)
+    got = np.asarray(S.fft(jnp.array(x), backend="pallas",
+                           precision="exact"))
+    ref = np.fft.fft(x.astype(np.complex128))
+    assert np.max(np.abs(got - ref)) <= 1e-5
+    xr = rng.standard_normal(2048).astype(np.float32)
+    gr = np.asarray(S.rfft(jnp.array(xr), backend="pallas",
+                           precision="exact"))
+    rr = np.fft.rfft(xr.astype(np.float64))
+    assert np.max(np.abs(gr - rr)) <= 2e-5

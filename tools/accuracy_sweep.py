@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Accuracy sweep: max abs error vs float64 numpy.fft for every shipped
 mode — all sizes x {c2c fwd ordered, c2c fwd unordered, c2c inverse,
-r2c, c2r} x {highest, high, fast} (VERDICT r1 item 6).
+r2c, c2r} x {exact, highest, high, fast} (VERDICT r1 item 6; "exact" r4 #5).
 
 Merges the table into BENCH_DETAILS.json under "accuracy" and prints a
 markdown table for BASELINE.md.  Run on the attached TPU (Mosaic
@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SIZES = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
 REAL_SIZES = (256, 512, 1024, 2048, 4096, 8192, 16384)
-BASE = {"highest": 2e-7, "fast": 4e-6}
+BASE = {"exact": 1e-7, "highest": 2e-7, "fast": 4e-6}
 
 
 def tol(n, prec):
@@ -41,7 +41,7 @@ def main():
     rng = np.random.default_rng(7)
     acc = {}
     rows_md = []
-    for prec in ("highest", "high", "fast"):
+    for prec in ("exact", "highest", "high", "fast"):
         for n in SIZES:
             x = (rng.random((64, n)) + 1j * rng.random((64, n))
                  - 0.5 - 0.5j).astype(np.complex64)
@@ -110,7 +110,7 @@ def main():
     print("| prec | N | c2c fwd (ord) | c2c fwd (unord) | c2c inv | "
           "r2c | c2r rt | r2c nat | c2r nat rt | bound | ref gate 1e-4 |")
     print("|---|---:|---:|---:|---:|---:|---:|---:|---:|---:|:--|")
-    for prec in ("highest", "high", "fast"):
+    for prec in ("exact", "highest", "high", "fast"):
         for n in sorted(set(SIZES) | set(REAL_SIZES)):
             e = acc.get(f"{prec}_n{n}")
             if not e:

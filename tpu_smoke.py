@@ -105,6 +105,21 @@ def main():
             check(f"c2r fused     n={n} {prec}",
                   np.max(np.abs(back - xr)), tol(n, prec))
 
+    # "exact" tier (split-accumulation lane dot): <= 2 output ulp at
+    # max magnitude — tighter than any n^0.75 bound (VERDICT r4 #5)
+    for n in (1024, 4096):
+        x = (rng.random((64, n)) + 1j * rng.random((64, n))
+             - 0.5 - 0.5j).astype(np.complex64)
+        vr = jnp.array(np.ascontiguousarray(x.real))
+        vi = jnp.array(np.ascontiguousarray(x.imag))
+        ref = np.fft.fft(x.astype(np.complex128))
+        c = n // 128
+        o_r, o_i = PC.fft_planar(vr, vi, n, precision="exact")
+        got = (np.asarray(o_r) + 1j * np.asarray(o_i)).reshape(
+            -1, c, 128).transpose(0, 2, 1).reshape(-1, n)
+        ulp = float(np.spacing(np.float32(np.max(np.abs(ref)))))
+        check(f"c2c exact     n={n}", np.max(np.abs(got - ref)), 2 * ulp)
+
     # pencil-layout fused real transforms, natural order (the product
     # ordered path for 256 <= n <= 4096)
     from smfft_tpu.ops import pencil as PEN
