@@ -33,15 +33,36 @@ def tol(n, prec):
     return BASE[prec] * n ** 0.75 * 8
 
 
+def _flush(acc):
+    """Merge-flush: existing tiers' rows survive a partial run (the
+    monolithic 4-tier sweep exceeds any sane TPU budget — round-5
+    lesson: ~280 kernel compiles)."""
+    path = "BENCH_DETAILS.json"
+    try:
+        with open(path) as f:
+            details = json.load(f)
+    except (FileNotFoundError, ValueError):
+        details = {}
+    merged = details.get("accuracy", {})
+    merged.update(acc)
+    details["accuracy"] = merged
+    details["accuracy_bound_model"] = (
+        "base * n^0.75 * 8; base: exact 1e-7, highest/high 2e-7, "
+        "fast 4e-6")
+    with open(path, "w") as f:
+        json.dump(details, f, indent=2)
+
+
 def main():
     import jax.numpy as jnp
     from smfft_tpu.ops import pallas_c2c as PC
     from smfft_tpu.ops import pallas_real as PR
 
+    tiers = tuple(sys.argv[1:]) or ("exact", "highest", "high", "fast")
     rng = np.random.default_rng(7)
     acc = {}
     rows_md = []
-    for prec in ("exact", "highest", "high", "fast"):
+    for prec in tiers:
         for n in SIZES:
             x = (rng.random((64, n)) + 1j * rng.random((64, n))
                  - 0.5 - 0.5j).astype(np.complex64)
@@ -73,6 +94,8 @@ def main():
             ent["c2c_inv_ordered"] = float(np.max(np.abs(got - ref_i)))
             ent["bound"] = tol(n, prec)
             acc[f"{prec}_n{n}"] = ent
+            _flush(acc)
+            print(f"{prec} n={n} c2c done", file=sys.stderr)
         for n in REAL_SIZES:
             xr = (rng.random((64, n)) * 2 - 1).astype(np.float32)
             spec_ref = np.fft.rfft(xr.astype(np.float64))
@@ -105,12 +128,14 @@ def main():
                 n_r, n_i, n, precision=prec, in_natural=True)) / L
             ent["c2r_nat_roundtrip"] = float(np.max(np.abs(back2 - xr)))
             ent.setdefault("bound", tol(n, prec))
+            _flush(acc)
+            print(f"{prec} n={n} real done", file=sys.stderr)
 
     # markdown
     print("| prec | N | c2c fwd (ord) | c2c fwd (unord) | c2c inv | "
           "r2c | c2r rt | r2c nat | c2r nat rt | bound | ref gate 1e-4 |")
     print("|---|---:|---:|---:|---:|---:|---:|---:|---:|---:|:--|")
-    for prec in ("exact", "highest", "high", "fast"):
+    for prec in tiers:
         for n in sorted(set(SIZES) | set(REAL_SIZES)):
             e = acc.get(f"{prec}_n{n}")
             if not e:
@@ -126,17 +151,7 @@ def main():
                   f"{fmt('r2c_nat')} | {fmt('c2r_nat_roundtrip')} | "
                   f"{e['bound']:.2e} | {gate} |")
 
-    path = "BENCH_DETAILS.json"
-    try:
-        with open(path) as f:
-            details = json.load(f)
-    except FileNotFoundError:
-        details = {}
-    details["accuracy"] = acc
-    details["accuracy_bound_model"] = (
-        "base * n^0.75 * 8; base: highest/high 2e-7, fast 4e-6")
-    with open(path, "w") as f:
-        json.dump(details, f, indent=2)
+    _flush(acc)
     print("\nmerged into BENCH_DETAILS.json under 'accuracy'",
           file=sys.stderr)
 
