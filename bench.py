@@ -156,6 +156,8 @@ def main():
     watchdog.daemon = True
     watchdog.start()
 
+    from smfft_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     import jax
     import jax.numpy as jnp
     from smfft_tpu.ops import pallas_c2c as PC

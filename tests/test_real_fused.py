@@ -108,3 +108,31 @@ def test_api_rfft_large_pallas_numpy_layout(rng, interpret):
 def test_planar_rfft_large_rejects_bad_sizes(interpret):
     with pytest.raises(ValueError, match="wrong FFT length"):
         planar.rfft_large(jnp.zeros((2, 3 << 14), jnp.float32))
+
+
+@pytest.mark.parametrize("b", [1, 2, 5])
+def test_pair_split_roundtrip(rng, interpret, b):
+    """Batch-pair path (the default): odd/even/singleton batches,
+    forward vs the packed oracle, roundtrip in both normalize modes."""
+    n = 1 << 15
+    x = (rng.random((b, n)) - 0.5).astype(np.float32)
+    hr, hi = RF.rfft_large_planar(jnp.asarray(x), mode="pair")
+    got = np.asarray(hr) + 1j * np.asarray(hi)
+    want = _pack_oracle(x)
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-6
+    back = RF.irfft_large_planar(hr, hi, n, mode="pair")
+    assert np.max(np.abs(np.asarray(back) - x)) < 1e-5
+    raw = RF.irfft_large_planar(hr, hi, n, normalize=False, mode="pair")
+    assert np.max(np.abs(np.asarray(raw) - x * (n // 2))) / (n // 2) < 1e-5
+
+
+def test_pair_matches_halfc(rng, interpret):
+    """Both modes produce the same packed spectrum (up to fp32 noise)."""
+    n = 1 << 15
+    x = (rng.random((4, n)) - 0.5).astype(np.float32)
+    pr, pi = RF.rfft_large_planar(jnp.asarray(x), mode="pair")
+    qr, qi = RF.rfft_large_planar(jnp.asarray(x), mode="halfc")
+    got_p = np.asarray(pr) + 1j * np.asarray(pi)
+    got_q = np.asarray(qr) + 1j * np.asarray(qi)
+    scale = np.max(np.abs(got_q))
+    assert np.max(np.abs(got_p - got_q)) / scale < 2e-6

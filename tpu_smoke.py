@@ -26,6 +26,8 @@ def tol(n, prec):
 
 
 def main():
+    from smfft_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     import jax
     import jax.numpy as jnp
     import smfft_tpu as S

@@ -50,6 +50,8 @@ def parse_args(argv):
 
 def main(argv=None):
     args = parse_args(argv)
+    from smfft_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     import jax
     import jax.numpy as jnp
     from smfft_tpu import api, native
