@@ -521,10 +521,12 @@ _PAIR_MAX = 1 << 28
 
 
 def _pair_dims(b: int):
-    """(sb, B2p): split-pass sublane block and padded half-batch."""
+    """(sb, B2p): split-pass sublane block and padded half-batch.
+    Mosaic requires sublane block dims divisible by 8 (device smoke,
+    round 5), so rows always pad to 8 — the same rule hugefft applies
+    to the FFT rows themselves."""
     h = max(1, -(-b // 2))
-    sb = min(8, h)
-    return sb, -(-h // sb) * sb
+    return 8, -(-h // 8) * 8
 
 
 def rfft_large_planar(x: jnp.ndarray, *, precision: str | None = None,
@@ -562,9 +564,10 @@ def rfft_large_planar(x: jnp.ndarray, *, precision: str | None = None,
     zr, zi = x[..., 0], x[..., 1]
     Zr, Zi = fourstep_fused.dispatch_planar(zr, zi, precision=precision)
     t = _split_tile(L)
-    sb = 8 if Zr.shape[0] >= 8 else Zr.shape[0]
-    Zr, Zi, b = _pad_rows(Zr, Zi, sb)
-    hr, hi = _build_split(n, sb, t, False)(Zr, Zi)
+    # Mosaic needs sublane blocks divisible by 8 — pad rows, never
+    # shrink the block (device smoke, round 5)
+    Zr, Zi, b = _pad_rows(Zr, Zi, 8)
+    hr, hi = _build_split(n, 8, t, False)(Zr, Zi)
     return (hr[:b].reshape(batch + (L,)), hi[:b].reshape(batch + (L,)))
 
 
@@ -606,9 +609,8 @@ def irfft_large_planar(hr: jnp.ndarray, hi: jnp.ndarray, n: int, *,
         out = jnp.concatenate([xr, xi], axis=0)[:b]
         return out.reshape(batch + (n,))
     t = _split_tile(L)
-    sb = 8 if hr.shape[0] >= 8 else hr.shape[0]
-    hr, hi, b = _pad_rows(hr, hi, sb)
-    zr, zi = _build_split(n, sb, t, True)(hr, hi)
+    hr, hi, b = _pad_rows(hr, hi, 8)
+    zr, zi = _build_split(n, 8, t, True)(hr, hi)
     xr, xi = fourstep_fused.dispatch_planar(
         zr[:b], zi[:b], inverse=True, precision=precision,
         scale=1.0 / L if normalize else 1.0)

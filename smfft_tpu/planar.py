@@ -185,8 +185,9 @@ def ifft_large(vr: jnp.ndarray, vi: jnp.ndarray,
 def rfft_large(x: jnp.ndarray, precision: str | None = None):
     """Planar huge-N R2C (N = 2**15..2**29): real (..., N) -> packed
     planar half-spectrum pair (..., N/2), slot 0 = (DC, Nyquist).
-    Fused pack trick: one XLA deinterleave, the fused four-step over
-    N/2, one Pallas Hermitian-split pass (ops/real_fused.py).
+    Batch-pair pack trick (ops/real_fused.py): two real rows ride as
+    the planar re/im planes of one full-length complex FFT row (free
+    packing), then one twiddle-free Pallas Hermitian-split pass.
     Unnormalized, matching :func:`rfft`.  Sizes <= 16384 route to
     :func:`rfft`."""
     n = x.shape[-1]

@@ -481,23 +481,38 @@ def main():
                     lambda a, c: HG.fft_huge_planar(a, c, plan=plan),
                     1 << e, b=b))
 
-    def real_large_check(e, b=4):
+    def real_large_check(e, b=4, mode=None):
+        from smfft_tpu.ops import real_fused as RFU
         n = 1 << e
+        tag = f" [{mode}]" if mode else ""
         xr = (rng.random((b, n)) * 2 - 1).astype(np.float32)
-        hr, hi = PLA.rfft_large(jnp.asarray(xr))
+        if mode is None:
+            hr, hi = PLA.rfft_large(jnp.asarray(xr))
+        else:
+            hr, hi = RFU.rfft_large_planar(jnp.asarray(xr), mode=mode)
         got = np.asarray(hr) + 1j * np.asarray(hi)
         ref = np.fft.rfft(xr.astype(np.float64))
         full = np.concatenate([got[:, :1].real, got[:, 1:]], axis=-1)
         e_body = np.max(np.abs(full[:, 1:] - ref[:, 1:-1]))
         e_dc = np.max(np.abs(got[:, 0].real - ref[:, 0].real))
         e_ny = np.max(np.abs(got[:, 0].imag - ref[:, -1].real))
-        check(f"rfft_large n=2^{e}",
+        check(f"rfft_large n=2^{e}{tag}",
               max(e_body, e_dc, e_ny) / np.max(np.abs(ref)), 3e-6)
-        back = np.asarray(PLA.irfft_large(hr, hi, n))
-        check(f"irfft_large rt n=2^{e}", np.max(np.abs(back - xr)), 1e-5)
+        if mode is None:
+            back = np.asarray(PLA.irfft_large(hr, hi, n))
+        else:
+            back = np.asarray(RFU.irfft_large_planar(hr, hi, n, mode=mode))
+        check(f"irfft_large rt n=2^{e}{tag}", np.max(np.abs(back - xr)),
+              1e-5)
 
+    # default dispatch (batch-pair) at three size classes + one line per
+    # explicit mode so both split designs keep device coverage
     for e in (16, 20, 23):
         guarded(f"real_fused 2^{e}", lambda e=e: real_large_check(e))
+    guarded("real_fused pair 2^18",
+            lambda: real_large_check(18, mode="pair"))
+    guarded("real_fused halfc 2^18",
+            lambda: real_large_check(18, mode="halfc"))
     guarded("fft_large dispatch 2^19", lambda: c2c_large_check(
         "fft_large (public) n=2^19", PLA.fft_large, 1 << 19))
 
